@@ -1,0 +1,376 @@
+"""Typed configuration tree for the volumetric-avatar framework.
+
+The reference threads 200+ argparse flags through a flat Namespace and converts them to
+per-module dataclass Configs at model build time (reference: models/stage_1/volumetric_avatar/
+va_arguments.py:11-662). Here the config IS the typed tree from day 1, with JSON round-trip
+replacing the reference's args.txt snapshot/reparse cycle (reference: utils/args.py:34-65,
+train.py:80-83).
+
+Defaults reproduce the production training run (reference: experiments/args.txt:1).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _asdict(obj) -> dict:
+    return dataclasses.asdict(obj)
+
+
+def _fromdict(cls, d: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        ftype = fields[k].type
+        sub = _CONFIG_TYPES.get(ftype if isinstance(ftype, str) else getattr(ftype, "__name__", None))
+        if sub is not None and isinstance(v, dict):
+            kwargs[k] = _fromdict(sub, v)
+        elif isinstance(v, list):
+            kwargs[k] = tuple(v)  # JSON has no tuples; tuple-typed fields round-trip
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+@dataclass(frozen=True)
+class VolumeConfig:
+    """Latent 3D feature volume geometry (reference: va_arguments.py:245-251; prod values
+    experiments/args.txt: latent_volume_channels 96, depth 16, size 64)."""
+    channels: int = 96
+    depth: int = 16
+    size: int = 64
+
+
+@dataclass(frozen=True)
+class LocalEncoderConfig:
+    """Source image -> 2D resnet downsample stack -> reshaped latent 3D volume
+    (reference: networks/volumetric_avatar/local_encoder.py:26-127)."""
+    in_channels: int = 3
+    input_image_size: int = 512
+    num_channels: int = 32          # gen_num_channels
+    channel_mult: float = 4.0       # enc_channel_mult (prod 4)
+    max_channels: int = 512         # gen_max_channels
+    block_type: str = "res"         # enc_block_type
+    norm: str = "gn"                # norm_layer_type (prod gn)
+    activation: str = "relu"
+    downsampling: str = "avgpool"
+
+
+@dataclass(frozen=True)
+class IdtEmbedConfig:
+    """Identity embedder: ResNet-50 trunk -> 1x1 conv -> 4x4x512 map
+    (reference: networks/volumetric_avatar/identity_embedder.py:12-93)."""
+    backbone: str = "resnet50"
+    image_size: int = 256           # idt_image_size
+    output_size: int = 4            # idt_output_size (spatial)
+    output_channels: int = 512      # idt_output_channels == gen_max_channels
+    num_source_frames: int = 1
+    norm: str = "gn"
+
+
+@dataclass(frozen=True)
+class ExpressionEmbedConfig:
+    """Expression embedder: theta-aligned 2x-zoom face crop -> ResNet-18 -> 128-d vector
+    (reference: networks/volumetric_avatar/expression_embedder.py:132-341)."""
+    backbone: str = "resnet18"
+    image_size: int = 512
+    align_size: int = 256           # lpe_head_backbone input / align crop resolution
+    output_channels: int = 128      # lpe_output_channels_expression (prod 128)
+    dropout: float = 0.2            # exp_dropout
+    norm: str = "gn"
+
+
+@dataclass(frozen=True)
+class WarpGeneratorConfig:
+    """Adaptive-norm 3D conv decoder: 4x4 embed -> dense 3D warp field
+    (reference: networks/volumetric_avatar/warp_generator_resnet.py:11-182)."""
+    input_channels: int = 512       # gen_max_channels embed channels
+    dummy_input_size: int = 8       # gen_dummy_input_size (prod 8)
+    output_size: int = 64           # warp_output_size == latent size
+    output_depth: int = 16
+    num_channels: int = 32          # gen_num_channels
+    channel_mult: float = 6.0       # warp_channel_mult (reference default, va_arguments.py)
+    max_channels: int = 512
+    block_type: str = "res"         # warp_block_type
+    norm: str = "gn"                # adaptive: becomes ada_gn inside
+    activation: str = "relu"
+    embed_size: int = 4             # gen_embed_size
+
+
+@dataclass(frozen=True)
+class Unet3DConfig:
+    """3D U-Net over the volume with learned constant bottleneck
+    (reference: networks/volumetric_avatar/unet_3d.py:18-280)."""
+    channels: int = 96              # gen_latent_texture_channels
+    size: int = 64
+    depth: int = 16
+    dummy_input_size: int = 8       # bottleneck spatial size
+    max_channels: int = 512
+    norm: str = "gn"
+    activation: str = "relu"
+    embed_size: int = 4
+    use_skip_resblock: bool = True  # tex_use_skip_resblock
+
+
+@dataclass(frozen=True)
+class VPNResBlocksConfig:
+    """Plain 3D res-block stack (reference: networks/volumetric_avatar/vpn_resblocks.py:22,
+    resblocks_3d.py:9; prod source_volume_num_blocks 3)."""
+    num_blocks: int = 3
+    channels: int = 96
+    norm: str = "gn"
+    activation: str = "relu"
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Volume collapsed to 2D -> adaptive res-blocks -> upsampling image decoder -> RGB
+    (reference: networks/volumetric_avatar/decoder.py:20-238 Decoder, :240 ImageDecoder)."""
+    in_channels: int = 1536         # volume channels * depth
+    image_size: int = 512
+    latent_size: int = 64
+    num_channels: int = 32          # gen_num_channels
+    channel_mult: float = 2.0       # dec_channel_mult (prod 2)
+    max_channels: int = 512         # dec_max_channels
+    num_blocks: int = 6             # dec_num_blocks (prod 6)
+    up_block_type: str = "res"      # dec_up_block_type
+    norm: str = "gn"
+    activation: str = "relu"
+    embed_size: int = 4
+    num_lrs_per_resolution: int = 2  # im_dec_num_lrs_per_resolution (prod 2)
+    ch_div_factor: float = 1.5       # im_dec_ch_div_factor (prod 1.5)
+    use_adanorm: bool = False        # dec_use_adanorm (prod False -> ProjectorNorm path)
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Multi-scale PatchGAN (reference: networks/basic_avatar/multiscale_discriminator.py:9-155;
+    prod dis_num_scales 2, dis_num_blocks 4)."""
+    min_channels: int = 64
+    max_channels: int = 512
+    num_blocks: int = 4
+    num_scales: int = 2
+    input_channels: int = 3
+
+
+@dataclass(frozen=True)
+class StyleGAN2DConfig:
+    """StyleGAN2 discriminator (reference: networks/basic_avatar/stylegan2Discriminator.py:245;
+    off in prod: use_stylegan_d False)."""
+    size: int = 512
+    channel_multiplier: int = 1
+    blur_kernel: tuple = (1, 3, 3, 1)
+
+
+@dataclass(frozen=True)
+class VolumeRendererConfig:
+    """EG3D-style importance renderer (reference: networks/volumetric_avatar/
+    volume_renderer.py:96, volume_render_utils.py:127; off in prod)."""
+    depth_resolution: int = 48
+    depth_resolution_importance: int = 48
+    hidden_dim: int = 448
+    features: int = 96
+    squeeze_dim: int = 96
+    ray_start: float = 0.6
+    ray_end: float = 2.2
+
+
+@dataclass(frozen=True)
+class HeadPoseConfig:
+    """Frozen ResNet-18(9) head-pose regressor (reference: networks/volumetric_avatar/
+    head_pose_regressor.py:11-31)."""
+    input_size: int = 128
+
+
+@dataclass(frozen=True)
+class LossWeights:
+    """Production loss weights (reference: va_arguments.py:364-410 get_weights;
+    values from experiments/args.txt:1)."""
+    adversarial: float = 1.0
+    feature_matching: float = 40.0
+    vgg19: float = 18.0
+    vgg19_face: float = 10.0
+    gaze: float = 10.0
+    resnet18_fv_mix: float = 35.0
+    pull_exp: float = 1.0
+    push_exp: float = 1.0
+    stm: float = 10.0
+    contrastive_exp: float = 2.0
+    eyes_l1: float = 500.0
+    mouth_l1: float = 500.0
+    ears_l1: float = 500.0
+    volumes_l1: float = 0.5
+    l1_weight: float = 0.0
+    stylegan: float = 1.0
+    r1: float = 2.0
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """AdamW 2e-4, betas (0.5, 0.999), cosine -> 1e-6 over 400k iters
+    (reference: va.py:1082-1180 configure_optimizers/schedulers; experiments/args.txt)."""
+    opt_type: str = "adamw"
+    lr: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    weight_decay: float = 1e-2
+    eps: float = 1e-8
+    shd_max_iters: int = 400_000
+    shd_lr_min: float = 1e-6
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 2              # per device (prod: 2/GPU x 8)
+    test_batch_size: int = 4
+    max_epochs: int = 400
+    train_epoch_len: int = 15000
+    test_epoch_len: int = 2000
+    image_size: int = 512
+    aug_warp_size: int = 512
+    use_seg: bool = True
+    use_mix_mask: bool = True
+    green: bool = True               # green-screen background compositing
+    sec_dataset_every: int = 4       # FEED batch-splicing cadence (train.py:233-249)
+    mix_losses_start: int = 1
+    contr_losses_start: int = 1
+    num_b_negs: int = 1
+    pred_mixing: bool = True
+    predict_target_canon_vol: bool = True
+    match_neutral: bool = False
+    use_stylegan_d: bool = False
+    logging_freq: int = 10
+    visuals_freq: int = 200
+    checkpoint_freq: int = 10
+    latest_checkpoint_freq: int = 1
+    seed: int = 0
+    bf16_activations: bool = True
+    remat: bool = True
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """1-D data mesh over ICI; grads reduced with psum inside the jitted step
+    (replaces reference NCCL DDP, train.py:66,182-187)."""
+    data_axis: str = "data"
+    num_devices: int = 1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full stage-1 model config: one typed node per subnet (suffix `_nw`/`_ds` naming
+    follows the reference convention, utils/non_specific.py:51-57)."""
+    volume: VolumeConfig = field(default_factory=VolumeConfig)
+    local_encoder: LocalEncoderConfig = field(default_factory=LocalEncoderConfig)
+    idt_embedder: IdtEmbedConfig = field(default_factory=IdtEmbedConfig)
+    expression_embedder: ExpressionEmbedConfig = field(default_factory=ExpressionEmbedConfig)
+    warp_generator: WarpGeneratorConfig = field(default_factory=WarpGeneratorConfig)
+    unet3d: Unet3DConfig = field(default_factory=Unet3DConfig)
+    vpn_source: VPNResBlocksConfig = field(default_factory=VPNResBlocksConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    stylegan_d: StyleGAN2DConfig = field(default_factory=StyleGAN2DConfig)
+    volume_renderer: VolumeRendererConfig = field(default_factory=VolumeRendererConfig)
+    head_pose: HeadPoseConfig = field(default_factory=HeadPoseConfig)
+    embed_size: int = 4              # gen_embed_size
+    max_channels: int = 512          # gen_max_channels
+    expression_dim: int = 128        # lpe_output_channels_expression
+    use_sn: bool = True              # spectral norm on generator nets (va.py:113-114)
+    use_ws: bool = True              # weight-standardized convs (prod use_ws True)
+    source_volume_num_blocks: int = 3
+    pred_volume_num_blocks: int = 0
+    volume_rendering: bool = False
+    use_back: bool = False
+    use_tensor: bool = False
+    use_mix_dis: bool = False
+    grid_sample_padding_mode: str = "reflection"
+    warp_norm_grad: bool = False
+
+
+@dataclass(frozen=True)
+class Stage2Config:
+    """512px residual enhancer (reference: models/stage_2/base/volumetric_avatar_two.py:23-700)."""
+    image_size: int = 512
+    num_channels: int = 64
+    max_channels: int = 512
+    num_blocks: int = 8
+    norm: str = "gn"
+    activation: str = "relu"
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Root config: model + losses + optimization + data + parallel."""
+    experiment_name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    stage2: Stage2Config = field(default_factory=Stage2Config)
+    weights: LossWeights = field(default_factory=LossWeights)
+    gen_opt: OptimizerConfig = field(default_factory=OptimizerConfig)
+    dis_opt: OptimizerConfig = field(default_factory=OptimizerConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def to_json(self, path: str | None = None) -> str:
+        s = json.dumps(_asdict(self), indent=2)
+        if path is not None:
+            with open(path, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_json(cls, s_or_path: str) -> "ExperimentConfig":
+        if s_or_path.lstrip().startswith("{"):
+            d = json.loads(s_or_path)
+        else:
+            with open(s_or_path) as f:
+                d = json.load(f)
+        return _fromdict(cls, d)
+
+
+_CONFIG_TYPES = {
+    c.__name__: c
+    for c in [
+        VolumeConfig, LocalEncoderConfig, IdtEmbedConfig, ExpressionEmbedConfig,
+        WarpGeneratorConfig, Unet3DConfig, VPNResBlocksConfig, DecoderConfig,
+        DiscriminatorConfig, StyleGAN2DConfig, VolumeRendererConfig, HeadPoseConfig,
+        LossWeights, OptimizerConfig, TrainConfig, ParallelConfig, ModelConfig,
+        Stage2Config, ExperimentConfig,
+    ]
+}
+
+
+def tiny_config() -> ExperimentConfig:
+    """A small config for tests: 64px images, 16^3-ish volume, few channels."""
+    vol = VolumeConfig(channels=8, depth=4, size=16)
+    return ExperimentConfig(
+        experiment_name="tiny",
+        model=ModelConfig(
+            volume=vol,
+            local_encoder=LocalEncoderConfig(
+                input_image_size=64, num_channels=4, channel_mult=2.0, max_channels=32),
+            idt_embedder=IdtEmbedConfig(image_size=64, output_channels=32),
+            expression_embedder=ExpressionEmbedConfig(
+                image_size=64, align_size=64, output_channels=16),
+            warp_generator=WarpGeneratorConfig(
+                input_channels=32, dummy_input_size=4, output_size=16, output_depth=4,
+                num_channels=4, channel_mult=2.0, max_channels=32, embed_size=4),
+            unet3d=Unet3DConfig(
+                channels=8, size=16, depth=4, dummy_input_size=4, max_channels=32),
+            vpn_source=VPNResBlocksConfig(num_blocks=1, channels=8),
+            decoder=DecoderConfig(
+                in_channels=32, image_size=64, latent_size=16, num_channels=4,
+                channel_mult=2.0, max_channels=32, num_blocks=2,
+                num_lrs_per_resolution=1, ch_div_factor=2.0),
+            discriminator=DiscriminatorConfig(
+                min_channels=8, max_channels=32, num_blocks=2, num_scales=2),
+            max_channels=32,
+            expression_dim=16,
+            source_volume_num_blocks=1,
+        ),
+        train=TrainConfig(batch_size=2, image_size=64, aug_warp_size=64),
+    )

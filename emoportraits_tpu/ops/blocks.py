@@ -1,0 +1,337 @@
+"""Functional building blocks: convs (weight-standardized / spectrally-normalized),
+norms (GroupNorm + adaptive variants), pre-activation Res/Conv blocks, resize layers.
+
+Reproduces the behavior of the reference's block factory (networks/volumetric_avatar/
+utils.py:661-981: ResBlock :661, ConvBlock :791, Conv2d_ws/Conv3d_ws :887-931, registries
+:930-970) with TPU-first differences:
+
+  * channels-last layout everywhere: (B, H, W, C) and (B, D, H, W, C); convs run via
+    lax.conv_general_dilated with NHWC/NDHWC dimension numbers so XLA tiles them onto the MXU;
+  * adaptive normalization is *functional*: modulation tensors (delta_gamma, delta_beta) are
+    threaded through `__call__(x, mods=...)` instead of being assigned onto module attributes
+    (reference mutates `.ada_weight`, utils.py:983-995);
+  * spectral norm keeps its power-iteration vector in a mutable `sn_state` variable
+    collection — updated in training, frozen at inference (reference: utils/spectral_norm.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Mod = Tuple[jax.Array, jax.Array]  # (delta_gamma, delta_beta), each (B, C)
+
+
+def _num_groups(channels: int, groups: int = 32) -> int:
+    g = min(groups, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
+def activation_fn(name: str) -> Callable[[jax.Array], jax.Array]:
+    """Registry parity with reference utils.py:936-939."""
+    if name == "relu":
+        return jax.nn.relu
+    if name == "lrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.2)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def _standardize_kernel(kernel: jax.Array) -> jax.Array:
+    """Weight standardization over all non-output dims (reference Conv2d_ws/Conv3d_ws,
+    utils.py:887-931: subtract mean, divide by unbiased std + 1e-5). Flax kernels are
+    (*spatial, in, out) with `out` last."""
+    axes = tuple(range(kernel.ndim - 1))
+    mean = jnp.mean(kernel, axis=axes, keepdims=True)
+    w = kernel - mean
+    n = 1
+    for a in axes:
+        n *= kernel.shape[a]
+    var = jnp.sum(w * w, axis=axes, keepdims=True) / max(n - 1, 1)  # unbiased, as torch .std()
+    return w / (jnp.sqrt(var) + 1e-5)
+
+
+def _spectral_normalize(module: nn.Module, kernel: jax.Array, n_iters: int = 1) -> jax.Array:
+    """Spectral normalization via power iteration (reference utils/spectral_norm.py:12-54).
+
+    The kernel is viewed as (out, -1) like torch SN; `u` persists in the `sn_state`
+    collection. When `sn_state` is not mutable (inference), the stored `u` is used as-is.
+    """
+    out_ch = kernel.shape[-1]
+    w = kernel.reshape(-1, out_ch).T  # (out, rest)
+    u_var = module.variable(
+        "sn_state", "u",
+        lambda: jax.random.normal(module.make_rng("params") if module.has_rng("params")
+                                  else jax.random.PRNGKey(0), (out_ch,)))
+    u = u_var.value
+    u = u / (jnp.linalg.norm(u) + 1e-12)
+    for _ in range(n_iters):
+        v = w.T @ u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        u_new = w @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
+        u = u_new
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (w @ v)
+    if not module.is_initializing() and not module.is_mutable_collection("sn_state"):
+        pass
+    else:
+        u_var.value = u
+    return kernel / sigma
+
+
+class Conv(nn.Module):
+    """N-D conv (channels-last) with optional weight standardization and spectral norm.
+
+    kernel init matches torch nn.Conv default (kaiming_uniform a=sqrt(5) == uniform
+    +-1/sqrt(fan_in)), so ported checkpoints and fresh inits share scale conventions.
+    """
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | int = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    use_ws: bool = False
+    use_sn: bool = False
+    feature_group_count: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ndim = len(self.kernel_size)
+        in_ch = x.shape[-1]
+        fan_in = in_ch // self.feature_group_count
+        for k in self.kernel_size:
+            fan_in *= k
+        bound = 1.0 / (fan_in ** 0.5)
+        kernel = self.param(
+            "kernel",
+            lambda rng, shape: jax.random.uniform(rng, shape, jnp.float32, -bound, bound),
+            (*self.kernel_size, in_ch // self.feature_group_count, self.features))
+        if self.use_ws:
+            kernel = _standardize_kernel(kernel)
+        if self.use_sn:
+            kernel = _spectral_normalize(self, kernel)
+
+        strides = (self.strides,) * ndim if isinstance(self.strides, int) else tuple(self.strides)
+        if ndim == 2:
+            dn = ("NHWC", "HWIO", "NHWC")
+        elif ndim == 3:
+            dn = ("NDHWC", "DHWIO", "NDHWC")
+        else:
+            raise ValueError("Conv supports 2D/3D only")
+
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), strides, self.padding,
+            dimension_numbers=dn, feature_group_count=self.feature_group_count,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda rng, shape: jax.random.uniform(rng, shape, jnp.float32, -bound, bound),
+                (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """Linear layer with torch default init and optional spectral norm."""
+    features: int
+    use_bias: bool = True
+    use_sn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        bound = 1.0 / (in_ch ** 0.5)
+        kernel = self.param(
+            "kernel",
+            lambda rng, shape: jax.random.uniform(rng, shape, jnp.float32, -bound, bound),
+            (in_ch, self.features))
+        if self.use_sn:
+            kernel = _spectral_normalize(self, kernel)
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda rng, shape: jax.random.uniform(rng, shape, jnp.float32, -bound, bound),
+                (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm(32) — the production norm (reference utils.py:953; prod norm_layer_type gn).
+    Stats in fp32 regardless of activation dtype."""
+    channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        g = _num_groups(self.channels, self.groups)
+        orig_dtype = x.dtype
+        xs = x.astype(jnp.float32)
+        shape = xs.shape
+        xg = xs.reshape(*shape[:-1], g, shape[-1] // g)
+        axes = tuple(range(1, xs.ndim - 1)) + (xs.ndim,)
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+        xn = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (self.channels,))
+            bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+            xn = xn * scale + bias
+        return xn.astype(orig_dtype)
+
+
+class AdaGroupNorm(nn.Module):
+    """Adaptive GroupNorm: GN without affine, then per-sample (gamma, beta) modulation
+    gamma = weight + delta_gamma, beta = bias + delta_beta (reference AdaptiveGroupNorm
+    utils.py:309-335 + assign_adaptive_norm_params utils.py:983-995)."""
+    channels: int
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mod: Mod) -> jax.Array:
+        xn = GroupNorm(self.channels, self.groups, self.eps, affine=False, name="gn")(x)
+        weight = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        dg, db = mod
+        gamma = (weight[None] + dg).astype(x.dtype)  # (B, C)
+        beta = (bias[None] + db).astype(x.dtype)
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.channels,)
+        return xn * gamma.reshape(bshape) + beta.reshape(bshape)
+
+
+def upsample_nearest(x: jax.Array, factor) -> jax.Array:
+    """Nearest-neighbor upsample; factor int (all spatial dims) or per-dim tuple."""
+    spatial = x.ndim - 2
+    factors = (factor,) * spatial if isinstance(factor, int) else tuple(factor)
+    for i, f in enumerate(factors):
+        if f != 1:
+            x = jnp.repeat(x, f, axis=1 + i)
+    return x
+
+
+def avg_pool(x: jax.Array, window) -> jax.Array:
+    """Average pooling with stride == window (reference downsampling 'avgpool')."""
+    spatial = x.ndim - 2
+    win = (window,) * spatial if isinstance(window, int) else tuple(window)
+    dims = (1,) + win + (1,)
+    y = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, dims, "VALID")
+    denom = 1
+    for w in win:
+        denom *= w
+    return y / denom
+
+
+class NormAct(nn.Module):
+    """norm -> activation, optionally adaptive."""
+    channels: int
+    norm: str = "gn"
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, mod: Optional[Mod] = None):
+        if self.norm.startswith("ada_"):
+            x = AdaGroupNorm(self.channels, name="norm")(x, mod)
+        elif self.norm != "none":
+            x = GroupNorm(self.channels, name="norm")(x)
+        return activation_fn(self.activation)(x)
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block (reference ResBlock, utils.py:661-790).
+
+    Structure: [norm, act, conv3] -> [norm, act, conv3] (+ downsample) with 1x1-conv skip
+    when channels change. `stride>1` with resize='nearest'/'bilinear' upsamples BEFORE the
+    block; with resize='avgpool' downsamples AFTER. Inner convs are bias-free, matching
+    the reference (m_bias=False).
+    """
+    in_channels: int
+    out_channels: int
+    ndim: int = 2
+    stride: int = 1
+    norm: str = "gn"
+    activation: str = "relu"
+    resize: str = "none"  # 'none' | 'nearest' | 'avgpool'
+    use_ws: bool = False
+    use_sn: bool = False
+
+    @nn.compact
+    def __call__(self, x, mods: Optional[Sequence[Mod]] = None):
+        k = (3,) * self.ndim
+        conv_kw = dict(use_bias=False, use_ws=self.use_ws, use_sn=self.use_sn)
+        upsample = self.resize in ("nearest", "bilinear") and self.stride > 1
+        downsample = self.resize in ("avgpool", "maxpool") and self.stride > 1
+
+        out = x
+        if upsample:
+            out = upsample_nearest(out, self.stride)
+
+        m0 = mods[0] if mods is not None else None
+        m1 = mods[1] if mods is not None else None
+        out = NormAct(self.in_channels, self.norm, self.activation, name="norm_act_0")(out, m0)
+        out = Conv(self.out_channels, k, name="conv_0", **conv_kw)(out)
+        out = NormAct(self.out_channels, self.norm, self.activation, name="norm_act_1")(out, m1)
+        out = Conv(self.out_channels, k, name="conv_1", **conv_kw)(out)
+        if downsample:
+            out = avg_pool(out, self.stride)
+
+        skip = x
+        if upsample:
+            skip = upsample_nearest(skip, self.stride)
+        if self.in_channels != self.out_channels:
+            skip = Conv(self.out_channels, (1,) * self.ndim, name="skip", **conv_kw)(skip)
+        if downsample:
+            skip = avg_pool(skip, self.stride)
+        return out + skip
+
+    @staticmethod
+    def num_adaptive_norms(norm: str) -> int:
+        return 2 if norm.startswith("ada_") else 0
+
+
+class ConvBlock(nn.Module):
+    """conv -> norm -> act (+resize) (reference ConvBlock, utils.py:791-880)."""
+    in_channels: int
+    out_channels: int
+    ndim: int = 2
+    stride: int = 1
+    norm: str = "none"
+    activation: str = "relu"
+    resize: str = "none"
+    use_ws: bool = False
+    use_sn: bool = False
+
+    @nn.compact
+    def __call__(self, x, mods: Optional[Sequence[Mod]] = None):
+        k = (3,) * self.ndim
+        upsample = self.resize in ("nearest", "bilinear") and self.stride > 1
+        downsample = self.resize in ("avgpool", "maxpool") and self.stride > 1
+        out = x
+        if upsample:
+            out = upsample_nearest(out, self.stride)
+        out = Conv(self.out_channels, k, use_bias=False, use_ws=self.use_ws,
+                   use_sn=self.use_sn, name="conv")(out)
+        m0 = mods[0] if mods is not None else None
+        if self.norm != "none":
+            out = NormAct(self.out_channels, self.norm, self.activation, name="norm_act")(out, m0)
+        else:
+            out = activation_fn(self.activation)(out)
+        if downsample:
+            out = avg_pool(out, self.stride)
+        return out
+
+    @staticmethod
+    def num_adaptive_norms(norm: str) -> int:
+        return 1 if norm.startswith("ada_") else 0

@@ -1,0 +1,130 @@
+"""Unit tests for the block library: golden checks vs torch for norms/WS, shape and
+semantic checks for blocks, spectral-norm convergence."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from emoportraits_tpu.ops.blocks import (
+    AdaGroupNorm, Conv, ConvBlock, Dense, GroupNorm, ResBlock, avg_pool, upsample_nearest,
+)
+
+
+def test_groupnorm_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5, 5, 32), dtype=np.float32)
+    gn = GroupNorm(32, groups=8)
+    params = gn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = gn.apply(params, jnp.asarray(x))
+
+    t = torch.nn.GroupNorm(8, 32)
+    with torch.no_grad():
+        t_out = t(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), t_out, atol=1e-5)
+
+
+def test_ws_conv_matches_torch_reference_standardization():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
+    conv = Conv(6, (3, 3), use_bias=False, use_ws=True)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = conv.apply(params, jnp.asarray(x))
+
+    # torch Conv2d_ws equivalent (reference utils.py:887-904)
+    k = np.asarray(params["params"]["kernel"])  # (kh, kw, in, out)
+    w = torch.from_numpy(np.transpose(k, (3, 2, 0, 1)).copy())  # (out, in, kh, kw)
+    wm = w.mean(dim=1, keepdim=True).mean(dim=2, keepdim=True).mean(dim=3, keepdim=True)
+    w = w - wm
+    std = w.reshape(w.size(0), -1).std(dim=1).view(-1, 1, 1, 1) + 1e-5
+    w = w / std
+    t_out = torch.nn.functional.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), w, padding=1
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), t_out, atol=1e-4)
+
+
+def test_conv_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 6, 6, 3), dtype=np.float32)
+    conv = Conv(5, (3, 3))
+    params = conv.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    ours = conv.apply(params, jnp.asarray(x))
+    k = np.asarray(params["params"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
+    t_out = torch.nn.functional.conv2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(np.transpose(k, (3, 2, 0, 1))), torch.from_numpy(b), padding=1,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), t_out, atol=1e-4)
+
+
+def test_spectral_norm_bounds_sigma():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 8), dtype=np.float32))
+    conv = Conv(8, (1, 1), use_bias=False, use_sn=True)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+    # run some power iterations to converge u
+    for _ in range(20):
+        _, updates = conv.apply(variables, x, mutable=["sn_state"])
+        variables = {**variables, "sn_state": updates["sn_state"]}
+    k = np.asarray(variables["params"]["kernel"]).reshape(-1, 8).T
+    u = np.asarray(variables["sn_state"]["u"])
+    v = k.T @ u / np.linalg.norm(k.T @ u)
+    sigma = u @ k @ v
+    # normalized kernel top singular value should be ~1
+    top = np.linalg.svd(k / sigma, compute_uv=False)[0]
+    assert abs(top - 1.0) < 1e-2
+
+
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_resblock_shapes(ndim):
+    spatial = (6, 6) if ndim == 2 else (4, 6, 6)
+    x = jnp.ones((2, *spatial, 8))
+    blk = ResBlock(8, 16, ndim=ndim, norm="gn")
+    params = blk.init(jax.random.PRNGKey(0), x)
+    y = blk.apply(params, x)
+    assert y.shape == (2, *spatial, 16)
+
+
+def test_resblock_downsample_and_upsample():
+    x = jnp.ones((1, 8, 8, 4))
+    down = ResBlock(4, 8, stride=2, resize="avgpool")
+    p = down.init(jax.random.PRNGKey(0), x)
+    assert down.apply(p, x).shape == (1, 4, 4, 8)
+    up = ResBlock(4, 8, stride=2, resize="nearest")
+    p = up.init(jax.random.PRNGKey(0), x)
+    assert up.apply(p, x).shape == (1, 16, 16, 8)
+
+
+def test_adaptive_resblock_modulation_changes_output():
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 6, 6, 8), dtype=np.float32))
+    blk = ResBlock(8, 8, norm="ada_gn")
+    zero_mods = [(jnp.zeros((2, 8)), jnp.zeros((2, 8)))] * 2
+    one_mods = [(jnp.ones((2, 8)), jnp.zeros((2, 8)))] * 2
+    params = blk.init(jax.random.PRNGKey(0), x, zero_mods)
+    y0 = blk.apply(params, x, zero_mods)
+    y1 = blk.apply(params, x, one_mods)
+    assert y0.shape == x.shape
+    assert float(jnp.abs(y0 - y1).max()) > 1e-3
+
+
+def test_convblock_and_pool_helpers():
+    x = jnp.ones((1, 4, 8, 8, 4))
+    blk = ConvBlock(4, 8, ndim=3, norm="gn")
+    p = blk.init(jax.random.PRNGKey(0), x)
+    assert blk.apply(p, x).shape == (1, 4, 8, 8, 8)
+    assert avg_pool(x, (2, 1, 1)).shape == (1, 2, 8, 8, 4)
+    assert upsample_nearest(x, (2, 1, 1)).shape == (1, 8, 8, 8, 4)
+
+
+def test_dense_matches_torch_linear():
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((3, 7), dtype=np.float32)
+    d = Dense(5)
+    params = d.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(d.apply(params, jnp.asarray(x)))
+    k = np.asarray(params["params"]["kernel"])
+    b = np.asarray(params["params"]["bias"])
+    np.testing.assert_allclose(ours, x @ k + b, atol=1e-5)
