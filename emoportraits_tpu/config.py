@@ -90,11 +90,11 @@ class WarpGeneratorConfig:
     """Adaptive-norm 3D conv decoder: 4x4 embed -> dense 3D warp field
     (reference: networks/volumetric_avatar/warp_generator_resnet.py:11-182)."""
     input_channels: int = 512       # gen_max_channels embed channels
-    dummy_input_size: int = 8       # gen_dummy_input_size (prod 8)
+    dummy_input_size: int = 4       # == gen_embed_size (va_arguments.py:556)
     output_size: int = 64           # warp_output_size == latent size
     output_depth: int = 16
     num_channels: int = 32          # gen_num_channels
-    channel_mult: float = 6.0       # warp_channel_mult (reference default, va_arguments.py)
+    channel_mult: float = 1.0       # warp_channel_mult (default, not overridden in prod)
     max_channels: int = 512
     block_type: str = "res"         # warp_block_type
     norm: str = "gn"                # adaptive: becomes ada_gn inside

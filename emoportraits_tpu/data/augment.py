@@ -1,0 +1,87 @@
+"""Host-side (numpy) augmentations for the pair datasets.
+
+Reference parity (datasets/voxceleb2hq_pairs.py):
+  * color jitter / grayscale / flip (albumentations pipeline, :89-126) -> numpy
+    equivalents here;
+  * geometric crop augmentation (:421-483);
+  * DeepFaceLab-style elastic warp (`augment_via_warp`, :485-511) producing the
+    `source/target_warp_aug` images that feed the expression net during training.
+
+All run in the input-pipeline worker processes on uint8 numpy arrays; nothing here is
+traced by XLA.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def color_jitter(img: np.ndarray, rng: np.random.Generator,
+                 strength: float = 0.1) -> np.ndarray:
+    """Brightness/contrast/saturation jitter on float [0,1] images (B~albumentations
+    ColorJitter semantics, coefficient scaled by aug_color_coef in prod)."""
+    b = 1.0 + rng.uniform(-strength, strength)
+    c = 1.0 + rng.uniform(-strength, strength)
+    s = 1.0 + rng.uniform(-strength, strength)
+    out = img * b
+    mean = out.mean(axis=(-3, -2), keepdims=True)
+    out = (out - mean) * c + mean
+    gray = out.mean(axis=-1, keepdims=True)
+    out = (out - gray) * s + gray
+    return np.clip(out, 0.0, 1.0)
+
+
+def random_grayscale(img: np.ndarray, rng: np.random.Generator,
+                     p: float = 0.05) -> np.ndarray:
+    if rng.random() < p:
+        g = img @ np.asarray([0.299, 0.587, 0.114], img.dtype)
+        return np.repeat(g[..., None], 3, axis=-1)
+    return img
+
+
+def random_flip_pair(arrays: Tuple[np.ndarray, ...], rng: np.random.Generator,
+                     p: float = 0.5) -> Tuple[np.ndarray, ...]:
+    """Horizontal flip applied consistently to a (source, target, masks...) tuple."""
+    if rng.random() < p:
+        return tuple(a[..., ::-1, :] if a.ndim >= 3 else a for a in arrays)
+    return arrays
+
+
+def elastic_warp(img: np.ndarray, rng: np.random.Generator,
+                 grid: int = 5, magnitude: float = 0.05) -> np.ndarray:
+    """DeepFaceLab-style random elastic warp (reference augment_via_warp,
+    voxceleb2hq_pairs.py:485-511): a coarse random displacement grid is upsampled to a
+    dense flow and the image is bilinearly resampled. Returns the warped image used as
+    the expression-net input (source/target_warp_aug)."""
+    h, w = img.shape[:2]
+    disp = rng.uniform(-magnitude, magnitude, (2, grid, grid)).astype(np.float32)
+    # upsample coarse grid to dense flow with bilinear interpolation
+    ys = np.linspace(0, grid - 1, h, dtype=np.float32)
+    xs = np.linspace(0, grid - 1, w, dtype=np.float32)
+    y0 = np.clip(np.floor(ys).astype(int), 0, grid - 2)
+    x0 = np.clip(np.floor(xs).astype(int), 0, grid - 2)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+
+    def up(d):
+        a = d[y0][:, x0]
+        b = d[y0][:, x0 + 1]
+        c = d[y0 + 1][:, x0]
+        e = d[y0 + 1][:, x0 + 1]
+        return a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + e * wy * wx
+
+    flow_y = up(disp[0]) * h
+    flow_x = up(disp[1]) * w
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sy = np.clip(yy + flow_y, 0, h - 1)
+    sx = np.clip(xx + flow_x, 0, w - 1)
+    y0i = np.floor(sy).astype(int)
+    x0i = np.floor(sx).astype(int)
+    y1i = np.minimum(y0i + 1, h - 1)
+    x1i = np.minimum(x0i + 1, w - 1)
+    fy = (sy - y0i)[..., None]
+    fx = (sx - x0i)[..., None]
+    out = (img[y0i, x0i] * (1 - fy) * (1 - fx) + img[y0i, x1i] * (1 - fy) * fx
+           + img[y1i, x0i] * fy * (1 - fx) + img[y1i, x1i] * fy * fx)
+    return out.astype(img.dtype)

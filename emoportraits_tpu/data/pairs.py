@@ -1,0 +1,131 @@
+"""Pair-sampling dataset + multi-stream interleave + per-host sharding.
+
+Reference parity:
+  * source/target frame-pair sampling within a clip (`random_frames`,
+    datasets/voxceleb2hq_pairs.py:213-220);
+  * error-retry resample loop (:186-199) — any clip failure resamples a fresh index;
+  * DataModule with DDP samplers (:650-683) -> replaced by per-host contiguous sharding
+    of the clip list (each JAX process reads its slice; no DistributedSampler);
+  * FEED/MEAD second-stream batch splicing every `sec_dataset_every` iters
+    (train.py:233-249): batch element 0 from the main stream, elements 1.. from the
+    second stream, spliced per key.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .augment import color_jitter, elastic_warp, random_flip_pair, random_grayscale
+from .records import ShardedClipStore
+
+
+class PairDataset:
+    """Yields dict batches of (source, target) frame pairs from one clip each."""
+
+    def __init__(self, store: ShardedClipStore, image_size: int, *,
+                 augment: bool = True, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        self.store = store
+        self.image_size = image_size
+        self.augment = augment
+        self.rng = np.random.default_rng(seed + process_index)
+        # per-host shard of the clip list (replaces DistributedSampler)
+        n = len(store)
+        idx = np.arange(n)
+        self.clip_ids = idx[idx % process_count == process_index]
+        if len(self.clip_ids) == 0:
+            self.clip_ids = idx
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        s = self.image_size
+        if img.shape[0] == s:
+            return img
+        ys = (np.linspace(0, img.shape[0] - 1, s)).astype(int)
+        xs = (np.linspace(0, img.shape[1] - 1, s)).astype(int)
+        return img[ys][:, xs]
+
+    def sample_pair(self) -> Dict[str, np.ndarray]:
+        """One (source, target) example; retries on failure like the reference's
+        __getitem__ loop (voxceleb2hq_pairs.py:186-199)."""
+        for _ in range(10):
+            try:
+                ci = int(self.rng.choice(self.clip_ids))
+                n = self.store.clips[ci].num_frames
+                si, ti = self.rng.integers(0, n, 2)
+                data = self.store.frames(ci, [int(si), int(ti)])
+                frames = data["frames"].astype(np.float32) / 255.0
+                masks = data["masks"].astype(np.float32)[..., None] / 255.0
+                src, tgt = self._resize(frames[0]), self._resize(frames[1])
+                smask, tmask = self._resize(masks[0]), self._resize(masks[1])
+                out = {}
+                if self.augment:
+                    src, tgt, smask, tmask = random_flip_pair(
+                        (src, tgt, smask, tmask), self.rng)
+                    src = random_grayscale(color_jitter(src, self.rng), self.rng)
+                    tgt = random_grayscale(color_jitter(tgt, self.rng), self.rng)
+                    out["source_warp_aug"] = elastic_warp(src, self.rng)
+                    out["target_warp_aug"] = elastic_warp(tgt, self.rng)
+                out.update({
+                    "source_img": np.ascontiguousarray(src),
+                    "target_img": np.ascontiguousarray(tgt),
+                    "source_mask": np.ascontiguousarray(smask),
+                    "target_mask": np.ascontiguousarray(tmask),
+                })
+                if "keypoints" in data:
+                    out["source_keypoints"] = data["keypoints"][0]
+                    out["target_keypoints"] = data["keypoints"][1]
+                return out
+            except Exception:
+                continue
+        raise RuntimeError("failed to sample a pair after 10 retries")
+
+    def batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            samples = [self.sample_pair() for _ in range(batch_size)]
+            yield {k: np.stack([s[k] for s in samples])
+                   for k in samples[0] if all(k in s for s in samples)}
+
+
+def splice_batches(main: Dict[str, np.ndarray], second: Dict[str, np.ndarray],
+                   keep_first: int = 1) -> Dict[str, np.ndarray]:
+    """FEED/MEAD batch splicing: keep `keep_first` elements from the main stream and the
+    rest from the second (reference train.py:233-249
+    `torch.cat([data_dict[k][:1], data_dict_[k][1:]])`)."""
+    out = {}
+    for k in main:
+        if k in second:
+            out[k] = np.concatenate([main[k][:keep_first], second[k][keep_first:]])
+        else:
+            out[k] = main[k]
+    return out
+
+
+class InterleavedStream:
+    """Main stream + optional second/third streams with the reference cadence:
+    every `sec_dataset_every` steps the batch is spliced with the FEED stream, and
+    every `mead_every` with the MEAD stream (train.py:132-139, 233-249)."""
+
+    def __init__(self, main: Iterator, second: Optional[Iterator] = None,
+                 third: Optional[Iterator] = None, sec_dataset_every: int = 4,
+                 mead_every: int = 0):
+        self.main = main
+        self.second = second
+        self.third = third
+        self.sec_every = sec_dataset_every
+        self.mead_every = mead_every
+        self.step = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        batch = next(self.main)
+        if self.second is not None and self.sec_every > 0 \
+                and self.step % self.sec_every == 0:
+            batch = splice_batches(batch, next(self.second))
+        elif self.third is not None and self.mead_every > 0 \
+                and self.step % self.mead_every == 0:
+            batch = splice_batches(batch, next(self.third))
+        self.step += 1
+        return batch

@@ -1,0 +1,125 @@
+"""InferenceWrapper: the user-facing streaming-reenactment API.
+
+Reference: notebooks/infer.py:62-355 `InferenceWrapper` — reconstructs the model from the
+saved config, loads weights, and exposes `forward(source_image, driver_image, ...)` with
+a cached per-avatar source encoding and a per-frame driver loop with head-pose momentum
+smoothing (:571-581). Preprocessing there uses mediapipe + MODNet on CPU; here the crop
+is driven by the frozen head-pose net (any external face detector can be plugged in via
+`set_crop_fn`), and masks default to full-frame when no matting network is supplied.
+
+TPU structure: `encode_source` is jitted once per avatar; `drive` is ONE jitted program
+per frame (expression embed + uv warp + 2 grid-samples + decode) with the cached
+canonical volume living on device — no host sync in the frame loop.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..models.head_pose import HeadPoseRegressor
+from ..models.stage1 import AvatarState, VolumetricAvatar
+
+
+class InferenceWrapper:
+    def __init__(self, cfg: ExperimentConfig, variables, head_pose_variables=None,
+                 theta_momentum: float = 0.0, device=None):
+        self.cfg = cfg
+        self.model = VolumetricAvatar(cfg.model)
+        self.head_pose = HeadPoseRegressor()
+        self.device = device or jax.devices()[0]
+        self.variables = jax.device_put(variables, self.device)
+        self.head_pose_variables = (
+            jax.device_put(head_pose_variables, self.device)
+            if head_pose_variables is not None else None)
+        self.theta_momentum = theta_momentum
+        self._prev_theta = None
+        self._state: Optional[AvatarState] = None
+        self._crop_fn: Optional[Callable] = None
+
+        m = self.model
+        self._encode = jax.jit(
+            lambda v, s, mk, t: m.apply(v, s, mk, t, method=m.encode_source))
+        self._drive = jax.jit(
+            lambda v, st, d, t: m.apply(v, st, d, t, method=m.drive)[0])
+        self._drive_s2 = jax.jit(
+            lambda v, st, d, t: m.apply(v, st, d, t, stage_two=True, method=m.drive))
+        if self.head_pose_variables is not None:
+            hp = self.head_pose
+            self._theta = jax.jit(lambda v, img: hp.apply(v, img))
+
+    def set_crop_fn(self, fn: Callable[[np.ndarray], np.ndarray]) -> None:
+        """Plug an external face detector/cropper (reference uses mediapipe,
+        infer.py:379-403)."""
+        self._crop_fn = fn
+
+    def _prep(self, image: np.ndarray) -> jax.Array:
+        """uint8/float HWC image -> (1, S, S, 3) float32 [0,1] on device."""
+        if self._crop_fn is not None:
+            image = self._crop_fn(image)
+        img = np.asarray(image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        s = self.cfg.train.image_size
+        if img.shape[0] != s or img.shape[1] != s:
+            from PIL import Image
+
+            img = np.asarray(
+                Image.fromarray((img * 255).astype(np.uint8)).resize((s, s))
+            ).astype(np.float32) / 255.0
+        return jax.device_put(jnp.asarray(img)[None], self.device)
+
+    def _estimate_theta(self, img: jax.Array) -> jax.Array:
+        if self.head_pose_variables is None:
+            return jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (img.shape[0], 4, 4))
+        return self._theta(self.head_pose_variables, img)
+
+    def set_source(self, source_image: np.ndarray,
+                   source_mask: Optional[np.ndarray] = None) -> None:
+        """Encode the avatar once (reference SOURCE path, infer.py:379-507)."""
+        src = self._prep(source_image)
+        if source_mask is None:
+            mask = jnp.ones_like(src[..., :1])
+        else:
+            mask = self._prep(source_mask)[..., :1]
+        theta = self._estimate_theta(src)
+        self._state = self._encode(self.variables, src, mask, theta)
+        self._prev_theta = None
+
+    def forward(self, driver_image: np.ndarray, *, smooth_pose: bool = True,
+                stage_two: bool = False):
+        """Per-frame drive (reference DRIVER path, infer.py:557-638). Returns
+        (1, S, S, 3) image [0,1] (and the img_f feature tap when stage_two)."""
+        assert self._state is not None, "call set_source() first"
+        drv = self._prep(driver_image)
+        theta = self._estimate_theta(drv)
+        if smooth_pose and self.theta_momentum > 0 and self._prev_theta is not None:
+            # momentum smoothing of the driver pose (reference infer.py:571-581)
+            theta = (self.theta_momentum * self._prev_theta
+                     + (1.0 - self.theta_momentum) * theta)
+        self._prev_theta = theta
+        if stage_two:
+            return self._drive_s2(self.variables, self._state, drv, theta)
+        return self._drive(self.variables, self._state, drv, theta)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str, step: Optional[int] = None,
+                        **kw) -> "InferenceWrapper":
+        """Rebuild from a saved run (config.json + orbax state), parity with
+        reconstructing args.txt at inference (infer.py:74-76). Restores the raw saved
+        tree and extracts the generator variables."""
+        import orbax.checkpoint as ocp
+
+        from ..train.checkpoint import load_config
+
+        cfg = load_config(checkpoint_dir)
+        mngr = ocp.CheckpointManager(checkpoint_dir)
+        step = mngr.latest_step() if step is None else step
+        tree = mngr.restore(step)
+        variables = {"params": tree["gen_params"]}
+        if tree.get("gen_sn_state"):
+            variables["sn_state"] = tree["gen_sn_state"]
+        return cls(cfg, variables, **kw)

@@ -1,0 +1,78 @@
+"""ExpressionEmbed (`expression_embedder_nw`): theta-aligned 2x-zoom face crop ->
+ResNet-18 -> expression vector.
+
+Reference: networks/volumetric_avatar/expression_embedder.py —
+  * alignment crop: invert the head-pose theta, keep the 2D rows/cols, right-multiply a
+    0.5-scale (2x zoom-in), warp an identity grid and bilinear-sample the image
+    (:174-251; grid_size = image_size // 2, zeros padding);
+  * ResNetWrapper `net_face` (:343-480): ImageNet norm, ResNet-18 (GN in prod), fc ->
+    1x1 conv to 128ch, dropout(0.2), adaptive avgpool 4x4, Linear(128*16 -> 128, no bias).
+
+Prod runs with estimate_head_pose_from_keypoints=True: thetas come from the frozen
+HeadPoseRegressor, so the optional `net_head`/LBFGS paths (:255-300) are not needed; the
+keypoint-fitting variant is provided closed-form in geometry.transforms.align_keypoints.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ExpressionEmbedConfig
+from ..ops.blocks import Conv, Dense
+from ..ops.grid_sample import grid_sample_2d, make_identity_grid_2d
+from .backbones.resnet import ResNet
+from .identity_embedder import IMAGENET_MEAN, IMAGENET_STD, adaptive_avg_pool
+
+
+def theta_to_crop_grid(theta: jax.Array, grid_size: int, zoom: float = 0.5) -> jax.Array:
+    """Build the aligned-crop sampling grid from a (B, 4, 4) or (B, 3, 4) head theta.
+
+    Mirrors reference expression_embedder.py:205-243: inv(theta) -> 2D rows/cols
+    [0,1,3] x [0,1,3] -> right-multiply diag(zoom, zoom, 1) -> apply to identity grid.
+    Returns (B, grid_size, grid_size, 2).
+    """
+    b = theta.shape[0]
+    if theta.shape[1] == 3:
+        bottom = jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0], theta.dtype), (b, 1, 4))
+        theta = jnp.concatenate([theta, bottom], axis=1)
+    inv = jnp.linalg.inv(theta.astype(jnp.float32))
+    sel = jnp.array([0, 1, 3])
+    inv2d = inv[:, sel][:, :, sel]  # (B, 3, 3)
+    scale = jnp.diag(jnp.array([zoom, zoom, 1.0], jnp.float32))
+    inv2d = (inv2d @ scale)[:, :2]  # (B, 2, 3)
+
+    grid = make_identity_grid_2d(grid_size, grid_size).reshape(1, -1, 2)
+    ones = jnp.ones((1, grid.shape[1], 1), jnp.float32)
+    grid_h = jnp.broadcast_to(jnp.concatenate([grid, ones], -1), (b, grid.shape[1], 3))
+    warped = jnp.einsum("bpk,bjk->bpj", grid_h, inv2d)
+    return warped.reshape(b, grid_size, grid_size, 2)
+
+
+def align_face_crop(img: jax.Array, theta: jax.Array, grid_size: int) -> jax.Array:
+    """Sample the 2x zoomed, pose-aligned face crop (zeros padding, torch default)."""
+    grid = theta_to_crop_grid(theta, grid_size)
+    return grid_sample_2d(img, grid.astype(img.dtype), padding_mode="zeros")
+
+
+class ExpressionEmbed(nn.Module):
+    cfg: ExpressionEmbedConfig
+    pool_size: int = 4  # lpe_output_size
+
+    @nn.compact
+    def __call__(self, aligned_face: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        """aligned_face: (B, gs, gs, 3) aligned crop. Returns (B, expression_dim)."""
+        c = self.cfg
+        x = (aligned_face - IMAGENET_MEAN.astype(aligned_face.dtype)) / IMAGENET_STD.astype(aligned_face.dtype)
+        feat = ResNet(layers=(2, 2, 2, 2), block="basic", norm=c.norm, name="net")(x)
+        feat = Conv(c.output_channels, (1, 1), use_bias=False, name="fc")(feat)
+        if c.dropout > 0:
+            feat = nn.Dropout(rate=c.dropout, deterministic=deterministic,
+                              name="drop")(feat)
+        pooled = adaptive_avg_pool(feat, self.pool_size)
+        # torch flatten of (B, C, h, w) is C-major; transpose for port parity.
+        flat = jnp.transpose(pooled, (0, 3, 1, 2)).reshape(pooled.shape[0], -1)
+        return Dense(c.output_channels, use_bias=False, name="pose_head")(flat)

@@ -1,0 +1,252 @@
+"""Stage-1 volumetric avatar: the full generator graph.
+
+Reference: models/stage_1/volumetric_avatar/va.py — Model.init_networks (:126-279),
+predict_embed (:813-885), G_forward (:287-765). This module owns every trainable
+generator subnet (reference `*_nw` suffix convention, utils/non_specific.py:51-57) and
+exposes three pure methods:
+
+  * `embed_source` / `embed_target`-style pieces used by both paths,
+  * `generate(...)`  — training forward: source+target -> pred image + intermediates,
+  * `encode_source(...)` + `drive(...)` — the split inference path mirroring
+    notebooks/infer.py:355 (canonical volume cached once per avatar, per-frame drive).
+
+The frozen HeadPoseRegressor and FaceParsing run OUTSIDE this module (reference keeps
+them as non-trainable attributes, va.py:255-279); thetas and masks enter as inputs.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from ..geometry.transforms import apply_theta_to_grid, inverse_theta_4x4
+from ..ops.blocks import Conv, Dense
+from ..ops.grid_sample import (
+    grid_sample_3d,
+    grid_sample_3d_norm_grad,
+    make_identity_grid_3d,
+)
+from .decoder import Decoder
+from .expression_embedder import ExpressionEmbed, align_face_crop
+from .identity_embedder import IdtEmbed
+from .local_encoder import LocalEncoder
+from .unet3d import Unet3D
+from .vpn_resblocks import VPNResBlocks
+from .warp_generator import WarpGenerator
+
+
+class AvatarState(NamedTuple):
+    """Per-avatar cached state for streaming inference (reference caches
+    `target_latent_volume` + embeds across driver frames, infer.py:485-507)."""
+    canonical_volume: jax.Array   # (B, D, s, s, C)
+    idt_embed: jax.Array          # (B, E, E, 512)
+    source_pose_embed: jax.Array  # (B, expr_dim)
+
+
+class VolumetricAvatar(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        m = self.cfg
+        sn = dict(use_ws=m.use_ws, use_sn=m.use_sn)
+        self.local_encoder_nw = LocalEncoder(m.local_encoder, m.volume, **sn)
+        self.idt_embedder_nw = IdtEmbed(m.idt_embedder)
+        self.expression_embedder_nw = ExpressionEmbed(m.expression_embedder)
+        # Linear 128 -> 512*E^2 lifting the expression vec to a spatial embed (va.py:172-176)
+        self.pose_unsqueeze_nw = Dense(
+            m.max_channels * m.embed_size ** 2, use_bias=False)
+        # 1x1 conv fusing (pose + idt)/2 (va.py:179-184)
+        self.warp_embed_head_orig_nw = Conv(m.max_channels, (1, 1), use_bias=False)
+        self.xy_generator_nw = WarpGenerator(m.warp_generator, **sn)
+        self.uv_generator_nw = WarpGenerator(m.warp_generator, **sn)
+        if m.source_volume_num_blocks > 0:
+            self.volume_source_nw = VPNResBlocks(m.vpn_source, **sn)
+        self.volume_process_nw = Unet3D(m.unet3d, **sn)
+        if m.pred_volume_num_blocks > 0:
+            self.volume_pred_nw = VPNResBlocks(m.vpn_source, **sn)
+        self.decoder_nw = Decoder(m.decoder, **sn)
+
+    # ------------------------------------------------------------------ helpers
+
+    def _grid_sample(self, vol, grid):
+        m = self.cfg
+        if m.warp_norm_grad:
+            return grid_sample_3d_norm_grad(
+                vol, grid.astype(vol.dtype), m.grid_sample_padding_mode, size=m.volume.size)
+        return grid_sample_3d(vol, grid.astype(vol.dtype), m.grid_sample_padding_mode)
+
+    def _identity_grid_h(self):
+        m = self.cfg.volume
+        g = make_identity_grid_3d(m.depth, m.size, m.size).reshape(1, -1, 3)
+        return jnp.concatenate([g, jnp.ones((1, g.shape[1], 1), g.dtype)], axis=-1)
+
+    def rotation_warp(self, theta: jax.Array, invert: bool) -> jax.Array:
+        """Dense warp field realizing a rigid pose: identity grid @ theta^T
+        (reference va.py:380-431). theta: (B, 4, 4) or (B, 3, 4)."""
+        m = self.cfg.volume
+        t = inverse_theta_4x4(theta)[:, :3] if invert else (
+            theta[:, :3] if theta.shape[1] == 4 else theta)
+        return apply_theta_to_grid(self._identity_grid_h(), t, (m.depth, m.size, m.size))
+
+    def expression_vector(self, img: jax.Array, theta: jax.Array, *,
+                          deterministic: bool = True) -> jax.Array:
+        """Pose-aligned 2x crop -> expression embedding (reference
+        expression_embedder.py:227-251)."""
+        gs = self.cfg.expression_embedder.image_size // 2
+        crop = align_face_crop(img, jax.lax.stop_gradient(theta), gs)
+        return self.expression_embedder_nw(crop, deterministic=deterministic)
+
+    def fuse_embed(self, pose_embed: jax.Array, idt_embed: jax.Array) -> jax.Array:
+        """(pose + idt)/2 -> 1x1 conv, as a (B, E, E, 512) spatial embed
+        (reference predict_embed, va.py:813-885, cat_em=False prod path)."""
+        m = self.cfg
+        b = pose_embed.shape[0]
+        spatial = self.pose_unsqueeze_nw(pose_embed)
+        # torch view (B, 512, E, E) is channel-major -> transpose to channels-last.
+        spatial = spatial.reshape(b, m.max_channels, m.embed_size, m.embed_size)
+        spatial = jnp.transpose(spatial, (0, 2, 3, 1))
+        return self.warp_embed_head_orig_nw((spatial + idt_embed) * 0.5)
+
+    def _collapse(self, vol: jax.Array) -> jax.Array:
+        """(B, D, H, W, C) -> (B, H, W, C*D), C-major like torch view(b, c*d, s, s)
+        (va.py:586-589)."""
+        b, d, h, w, c = vol.shape
+        return jnp.transpose(vol, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
+
+    # ------------------------------------------------------------- main forwards
+
+    def generate(
+        self,
+        source_img: jax.Array,
+        source_mask: jax.Array,
+        target_img: jax.Array,
+        source_theta: jax.Array,
+        target_theta: jax.Array,
+        *,
+        mixing_theta: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        stage_two: bool = False,
+    ) -> Dict[str, Any]:
+        """Training/inference forward for a (source, target) pair
+        (reference G_forward, va.py:287-765; prod flag settings).
+
+        Images are (B, S, S, 3) in [0, 1]; masks (B, S, S, 1); thetas (B, 4, 4)
+        from the frozen head-pose regressor.
+        """
+        out: Dict[str, Any] = {}
+        masked_source = source_img * source_mask
+
+        latent_volume = self.local_encoder_nw(masked_source)
+        idt_embed = self.idt_embedder_nw(masked_source)
+        out["idt_embed"] = idt_embed
+
+        source_pose_embed = self.expression_vector(
+            source_img, source_theta, deterministic=deterministic)
+        target_pose_embed = self.expression_vector(
+            target_img, target_theta, deterministic=deterministic)
+        out["source_pose_embed"] = source_pose_embed
+        out["target_pose_embed"] = target_pose_embed
+
+        source_embed = self.fuse_embed(source_pose_embed, idt_embed)
+        target_embed = self.fuse_embed(target_pose_embed, idt_embed)
+
+        xy_warp, out["source_delta_xy"] = self.xy_generator_nw(source_embed)
+        uv_warp, out["target_delta_uv"] = self.uv_generator_nw(target_embed)
+
+        source_rotation_warp = self.rotation_warp(source_theta, invert=True)
+        target_rotation_warp = self.rotation_warp(target_theta, invert=False)
+
+        if self.cfg.source_volume_num_blocks > 0:
+            latent_volume = self.volume_source_nw(latent_volume)
+
+        canonical = self.volume_process_nw(
+            self._grid_sample(self._grid_sample(latent_volume, source_rotation_warp),
+                              xy_warp))
+        out["canonical_volume"] = canonical
+
+        aligned = self._grid_sample(
+            self._grid_sample(canonical, uv_warp), target_rotation_warp)
+        if self.cfg.pred_volume_num_blocks > 0:
+            aligned = self.volume_pred_nw(aligned)
+
+        img, img_f = self.decoder_nw(self._collapse(aligned), target_embed,
+                                     stage_two=stage_two)
+        out["pred_target_img"] = img
+        out["pred_feat"] = img_f
+
+        if mixing_theta is not None:
+            # Mixing branch: rolled expression drives the canonical volume under a
+            # polar-mixed pose (reference va.py:634-765).
+            rolled_embed = jnp.roll(target_pose_embed, 1, axis=0)
+            mix_embed = self.fuse_embed(rolled_embed, idt_embed)
+            mix_uv_warp, _ = self.uv_generator_nw(mix_embed)
+            mix_rot_warp = self.rotation_warp(mixing_theta, invert=False)
+            mix_aligned = self._grid_sample(
+                self._grid_sample(canonical, mix_uv_warp), mix_rot_warp)
+            mix_img, _ = self.decoder_nw(self._collapse(mix_aligned), mix_embed)
+            out["pred_mixing_img"] = mix_img
+            out["rolled_pose_embed"] = rolled_embed
+
+        return out
+
+    def canonical_from_target(self, target_img: jax.Array, target_mask: jax.Array,
+                              target_pose_embed: jax.Array, idt_embed: jax.Array,
+                              inv_theta_st: jax.Array) -> jax.Array:
+        """Canonical volume re-derived from the TARGET frame, for the volumes_l1
+        self-supervision (reference predict_target_canon_vol branch, va.py:554-566;
+        runs under no-grad there — callers wrap in stop_gradient).
+
+        inv_theta_st: (B, 4, 4) inverse of theta(source_scale, target_rotation,
+        target_translation), optionally right-composed with the keypoint alignment matrix
+        (va.py:437-448)."""
+        embed = self.fuse_embed(target_pose_embed, idt_embed)
+        xy_warp, _ = self.xy_generator_nw(embed)
+        latent = self.local_encoder_nw(target_img * target_mask)
+        if self.cfg.source_volume_num_blocks > 0:
+            latent = self.volume_source_nw(latent)
+        rot_warp = self.rotation_warp(inv_theta_st, invert=False)
+        latent = self._grid_sample(self._grid_sample(latent, rot_warp), xy_warp)
+        return self.volume_process_nw(latent)
+
+    # ------------------------------------------------- streaming inference split
+
+    def encode_source(self, source_img: jax.Array, source_mask: jax.Array,
+                      source_theta: jax.Array) -> AvatarState:
+        """Once per avatar: build the canonical latent volume
+        (reference infer.py:379-507 SOURCE path)."""
+        masked = source_img * source_mask
+        latent_volume = self.local_encoder_nw(masked)
+        idt_embed = self.idt_embedder_nw(masked)
+        source_pose_embed = self.expression_vector(source_img, source_theta)
+        source_embed = self.fuse_embed(source_pose_embed, idt_embed)
+        xy_warp, _ = self.xy_generator_nw(source_embed)
+        rot_warp = self.rotation_warp(source_theta, invert=True)
+        if self.cfg.source_volume_num_blocks > 0:
+            latent_volume = self.volume_source_nw(latent_volume)
+        canonical = self.volume_process_nw(
+            self._grid_sample(self._grid_sample(latent_volume, rot_warp), xy_warp))
+        return AvatarState(canonical, idt_embed, source_pose_embed)
+
+    def drive(self, state: AvatarState, driver_img: jax.Array,
+              driver_theta: jax.Array, *, stage_two: bool = False):
+        """Per driver frame: expression embed -> uv warp -> rotate -> decode
+        (reference infer.py:557-638 DRIVER path)."""
+        pose_embed = self.expression_vector(driver_img, driver_theta)
+        embed = self.fuse_embed(pose_embed, state.idt_embed)
+        uv_warp, _ = self.uv_generator_nw(embed)
+        rot_warp = self.rotation_warp(driver_theta, invert=False)
+        aligned = self._grid_sample(
+            self._grid_sample(state.canonical_volume, uv_warp), rot_warp)
+        if self.cfg.pred_volume_num_blocks > 0:
+            aligned = self.volume_pred_nw(aligned)
+        img, img_f = self.decoder_nw(self._collapse(aligned), embed,
+                                     stage_two=stage_two)
+        return (img, img_f) if stage_two else (img, None)
+
+    def __call__(self, source_img, source_mask, target_img, source_theta, target_theta):
+        """Init-friendly entry point == generate()."""
+        return self.generate(source_img, source_mask, target_img,
+                             source_theta, target_theta)

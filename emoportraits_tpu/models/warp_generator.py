@@ -1,0 +1,113 @@
+"""WarpGenerator: adaptive-norm 3D conv decoder from the 4x4 warp embed to a dense 3D
+warp field (identity grid + tanh deltas).
+
+Reference: networks/volumetric_avatar/warp_generator_resnet.py:11-182. Two instances:
+`xy_generator_nw` (source -> canonical) and `uv_generator_nw` (canonical -> target pose),
+va.py:183-185. Adaptive GroupNorm modulation comes from a ProjectorNorm over the fused
+(pose+idt) embed (warp_generator_resnet.py:115-117); here the projector lives inside the
+module and modulation is threaded functionally.
+
+Prod schedule (dummy 4, output 64x64 depth 16, ch 32*1.0, max 512):
+  4x4x4@512 -> up2 8x8x8@256 -> up2 16x16x16@128 -> up2 32x32x32@64
+  -> up(1,2,2)+depth-pool 16x64x64@32 -> GN+ReLU -> conv3(3) -> tanh.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import WarpGeneratorConfig
+from ..ops.adaptive import ProjectorNorm
+from ..ops.blocks import Conv, GroupNorm, ResBlock, activation_fn, avg_pool
+from ..ops.grid_sample import make_identity_grid_3d
+
+
+def resize_trilinear(x: jax.Array, scale: Tuple[int, int, int]) -> jax.Array:
+    """Trilinear resize (torch F.interpolate mode='trilinear', align_corners=False);
+    x is (B, D, H, W, C)."""
+    b, d, h, w, c = x.shape
+    new = (b, d * scale[0], h * scale[1], w * scale[2], c)
+    return jax.image.resize(x, new, method="linear")
+
+
+def _channel_schedule(cfg: WarpGeneratorConfig):
+    num_blocks = int(math.log2(cfg.output_size // cfg.dummy_input_size))
+
+    def ch(i):
+        v = min(int(cfg.num_channels * cfg.channel_mult * 2 ** i), cfg.max_channels)
+        # reference floors to multiples of 32 (warp_generator_resnet.py:60); keep small
+        # test configs intact where that would floor to zero
+        return (v // 32 * 32) if v >= 32 else v
+
+    top = ch(num_blocks)
+    outs = [ch(i) for i in range(num_blocks - 1, -1, -1)]
+    return num_blocks, top, outs
+
+
+class WarpGenerator(nn.Module):
+    cfg: WarpGeneratorConfig
+    use_ws: bool = True
+    use_sn: bool = True
+
+    @nn.compact
+    def __call__(self, embed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """embed: (B, E, E, C_in) fused warp embed (spatial layout of embed_dict['orig']).
+
+        Returns (warp, deltas), both (B, D, S, S, 3) with (x, y, z) order.
+        """
+        c = self.cfg
+        num_blocks, top_ch, out_chs = _channel_schedule(c)
+        b = embed.shape[0]
+        e = c.dummy_input_size
+
+        # Projector: each res block has 2 adaptive norms at (in_ch, out_ch).
+        chans = []
+        in_ch = top_ch
+        for oc in out_chs:
+            chans += [in_ch, oc]
+            in_ch = oc
+        embed_flat = jnp.transpose(embed, (0, 3, 1, 2)).reshape(b, embed.shape[-1], -1)
+        mods = ProjectorNorm(tuple(chans), c.max_channels, c.embed_size,
+                             name="projector")(embed_flat)
+
+        x = Conv(top_ch * e, (1, 1), use_bias=False, use_ws=self.use_ws,
+                 use_sn=self.use_sn, name="first_conv")(embed)
+        # (B, E, E, top*E) -> C-major split (C, D) -> (B, D, E, E, C)
+        x = x.reshape(b, e, e, top_ch, e)
+        x = jnp.transpose(x, (0, 4, 1, 2, 3))
+
+        depth = e
+        ndrb = int(math.log2(c.output_size // c.dummy_input_size))
+        in_ch = top_ch
+        for i, oc in enumerate(out_chs, start=1):
+            spatial = e * 2 ** i
+            if i < ndrb:
+                depth_new = min(c.output_depth * 2 ** (ndrb - i), spatial)
+            else:
+                depth_new = c.output_depth
+            if depth_new > depth:
+                x = resize_trilinear(x, (2, 2, 2))
+            else:
+                x = resize_trilinear(x, (1, 2, 2))
+            x = ResBlock(in_ch, oc, ndim=3, norm="ada_" + c.norm,
+                         activation=c.activation, use_ws=self.use_ws,
+                         use_sn=self.use_sn, name=f"block_{i - 1}")(
+                x, mods=mods[2 * (i - 1): 2 * i])
+            if depth_new < depth * 2 and depth_new < x.shape[1]:
+                x = avg_pool(x, (x.shape[1] // depth_new, 1, 1))
+            depth = depth_new
+            in_ch = oc
+
+        if c.block_type == "res":
+            x = GroupNorm(out_chs[-1], name="pre_head_norm")(x.astype(jnp.float32))
+            x = activation_fn(c.activation)(x)
+        deltas = Conv(3, (3, 3, 3), name="head")(x)
+        deltas = jnp.tanh(deltas)
+        grid = make_identity_grid_3d(c.output_depth, c.output_size, c.output_size,
+                                     dtype=deltas.dtype)
+        warp = grid + deltas
+        return warp, deltas

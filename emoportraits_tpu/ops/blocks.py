@@ -124,10 +124,16 @@ class Conv(nn.Module):
             dn = ("NDHWC", "DHWIO", "NDHWC")
         else:
             raise ValueError("Conv supports 2D/3D only")
+        padding = self.padding
+        if padding == "SAME":
+            # torch pads symmetrically k//2 on both sides; XLA SAME pads asymmetrically
+            # for strided convs (right/bottom-heavy) — use explicit torch-style padding
+            # so strided layers match ported checkpoints exactly.
+            padding = tuple((k // 2, k // 2) for k in self.kernel_size)
 
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype), strides, self.padding,
+            x.astype(dtype), kernel.astype(dtype), strides, padding,
             dimension_numbers=dn, feature_group_count=self.feature_group_count,
             preferred_element_type=jnp.float32,
         ).astype(dtype)

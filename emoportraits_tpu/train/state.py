@@ -1,0 +1,71 @@
+"""Training state: generator + discriminator parameter trees, two optax optimizers with
+cosine schedules, spectral-norm power-iteration state, and the expression-negatives queue.
+
+Replaces the reference's reflection-based optimizer wiring (suffix scan in
+utils/non_specific.py:51-57 feeding Model.configure_optimizers, va.py:1082-1128) with an
+explicit, typed state. Scheduler parity: AdamW(lr 2e-4, betas (0.5, 0.999)) with cosine
+decay to 1e-6 over 400k iters (va.py:1130-1180; experiments/args.txt).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import ExperimentConfig, OptimizerConfig
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    schedule = optax.cosine_decay_schedule(
+        init_value=cfg.lr,
+        decay_steps=cfg.shd_max_iters,
+        alpha=cfg.shd_lr_min / cfg.lr,
+    )
+    if cfg.opt_type == "adamw":
+        return optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+                           weight_decay=cfg.weight_decay)
+    if cfg.opt_type == "adam":
+        return optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
+    raise ValueError(cfg.opt_type)
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    gen_params: Any
+    gen_sn_state: Any          # spectral-norm `u` vectors (mutable collection)
+    gen_opt_state: optax.OptState
+    dis_params: Any
+    dis_sn_state: Any
+    dis_opt_state: optax.OptState
+    # Expression negatives queue (reference `prev_targets`,
+    # va_losses_and_visuals.py:480-487) as a fixed ring buffer (K, B, D).
+    prev_targets: Optional[jax.Array] = None
+
+    @classmethod
+    def create(cls, cfg: ExperimentConfig, gen_variables, dis_variables,
+               batch_size: int) -> "TrainState":
+        gen_opt = make_optimizer(cfg.gen_opt)
+        dis_opt = make_optimizer(cfg.dis_opt)
+        gen_params = gen_variables["params"]
+        dis_params = dis_variables["params"]
+        k = max(cfg.train.num_b_negs, 1)
+        prev = jnp.zeros((k, batch_size, cfg.model.expression_dim), jnp.float32)
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            gen_sn_state=gen_variables.get("sn_state", {}),
+            gen_opt_state=gen_opt.init(gen_params),
+            dis_params=dis_params,
+            dis_sn_state=dis_variables.get("sn_state", {}),
+            dis_opt_state=dis_opt.init(dis_params),
+            prev_targets=prev,
+        )
+
+
+def param_count(tree) -> int:
+    return sum(x.size for x in jax.tree.leaves(tree))

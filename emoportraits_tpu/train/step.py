@@ -1,0 +1,214 @@
+"""The jitted GAN train step: generator pass then discriminator pass in ONE XLA program.
+
+Reference flow (train.py:396-464 training_step + va.py:899-1020 Model.forward):
+  opt 0 ('gen'):  G_forward -> D(target) no-grad, D(pred) w/ grad -> gen losses -> step
+  opt 1 ('dis'):  D(real), D(fake.detach()) -> hinge -> step
+with DDP allreduce inside loss.backward(). Here both passes are traced into one jit;
+under a sharded-data mesh the mean-loss gradients produce the psum collectives
+automatically (no NCCL porting — SURVEY.md §2.3).
+
+Loss assembly parity with calc_train_losses (va_losses_and_visuals.py:22-633), prod
+weights from experiments/args.txt (LossWeights in config.py). Frozen towers (VGG19,
+VGGFace, head-pose) enter as explicit constants in `LossTowers`.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExperimentConfig
+from ..geometry.transforms import get_mixing_theta
+from ..losses import (
+    adversarial_loss_dis,
+    adversarial_loss_gen,
+    contrastive_exp_loss,
+    feature_matching_loss,
+    perceptual_loss,
+    pull_loss,
+    push_loss,
+    stm_loss,
+)
+from .state import TrainState, make_optimizer
+
+
+class LossTowers(NamedTuple):
+    """Frozen evaluator networks (reference loads them as eval-mode buffers,
+    losses/perceptual.py:228,250-256)."""
+    vgg19_apply: Optional[Callable] = None
+    vgg19_params: Any = None
+    vggface_apply: Optional[Callable] = None
+    vggface_params: Any = None
+    head_pose_apply: Optional[Callable] = None
+    head_pose_params: Any = None
+
+
+def gen_losses(
+    cfg: ExperimentConfig,
+    out: Dict[str, jax.Array],
+    batch: Dict[str, jax.Array],
+    dis_apply: Callable,
+    dis_params,
+    towers: LossTowers,
+    prev_targets: jax.Array,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    w = cfg.weights
+    losses: Dict[str, jax.Array] = {}
+    pred = out["pred_target_img"]
+    target = batch["target_img"]
+
+    # Masked/green-composited target (reference va.py:617-632).
+    if cfg.train.use_seg and "target_mask" in batch:
+        mask = jax.lax.stop_gradient(batch["target_mask"])
+        target = target * mask
+        if cfg.train.green:
+            green = (1.0 - mask) * jnp.asarray([0.0, 1.0, 0.0], target.dtype)
+            target = target + green
+            pred = pred * mask + green
+
+    # --- adversarial + feature matching ---
+    real_scores, real_feats = dis_apply(dis_params, target)
+    fake_scores, fake_feats = dis_apply(dis_params, pred)
+    losses["gen_adversarial"] = w.adversarial * adversarial_loss_gen(fake_scores)
+    losses["feature_matching"] = w.feature_matching * feature_matching_loss(
+        jax.tree.map(jax.lax.stop_gradient, real_feats), fake_feats)
+
+    # --- perceptual towers ---
+    if towers.vgg19_apply is not None and w.vgg19 > 0:
+        # prod vgg19_num_scales=4 at 512px; clamp so the smallest pyramid level still
+        # survives VGG's 4 pools (needs >= 32px input per scale).
+        import math
+        n_scales = max(1, min(4, int(math.log2(pred.shape[1] // 32)) + 1))
+        losses["vgg19"] = w.vgg19 * perceptual_loss(
+            towers.vgg19_apply, towers.vgg19_params, pred, target, num_scales=n_scales)
+    if towers.vggface_apply is not None and w.vgg19_face > 0:
+        losses["vgg19_face"] = w.vgg19_face * perceptual_loss(
+            towers.vggface_apply, towers.vggface_params, pred, target,
+            num_scales=2, normalization="vggface", resize_to=224)
+
+    if w.l1_weight > 0:
+        losses["l1"] = w.l1_weight * jnp.mean(jnp.abs(pred - target))
+
+    # --- canonical-volume self-supervision (predict_target_canon_vol, va.py:554-566;
+    #     loss at va_losses_and_visuals.py:98-141) ---
+    if "canon_volume_from_target" in out and w.volumes_l1 > 0:
+        losses["volumes_l1"] = w.volumes_l1 * jnp.mean(jnp.abs(
+            out["canonical_volume"]
+            - jax.lax.stop_gradient(out["canon_volume_from_target"])))
+
+    # --- expression contrastive family (va_losses_and_visuals.py:457-578) ---
+    if "pred_cycle_exp" in out:
+        t_emb = out["target_pose_embed"]
+        p_cyc = out["pred_cycle_exp"]
+        m_cyc = out.get("mixing_cycle_exp")
+        losses["pull_exp"] = w.pull_exp * (
+            pull_loss(p_cyc, t_emb)
+            + (0.5 * pull_loss(m_cyc, t_emb) if m_cyc is not None else 0.0))
+        push = push_loss(p_cyc, t_emb)
+        if m_cyc is not None:
+            push = push + 0.5 * push_loss(m_cyc, t_emb)
+        k = prev_targets.shape[0]
+        for i in range(k):
+            push = push + push_loss(p_cyc, jax.lax.stop_gradient(prev_targets[i])) / k
+        losses["push_exp"] = w.push_exp * push
+        losses["stm"] = w.push_exp * w.stm * stm_loss(out["source_pose_embed"], t_emb)
+        if w.contrastive_exp > 0:
+            losses["contrastive_exp_pred"] = w.contrastive_exp * contrastive_exp_loss(
+                p_cyc, t_emb, out["source_pose_embed"])
+            if m_cyc is not None:
+                losses["contrastive_exp_mix"] = w.contrastive_exp * contrastive_exp_loss(
+                    m_cyc, t_emb, out["source_pose_embed"])
+
+    # --- face-part L1s (eyes/mouth/ears, weight 500 each; reference
+    #     va_losses_and_visuals.py:183-243 via parsing masks; masks arrive in the batch) ---
+    for part, weight in (("eyes", w.eyes_l1), ("mouth", w.mouth_l1), ("ears", w.ears_l1)):
+        key = f"{part}_mask"
+        if key in batch and weight > 0:
+            m = jax.lax.stop_gradient(batch[key])
+            losses[f"{part}_l1"] = weight * jnp.sum(jnp.abs(pred - target) * m) / (
+                jnp.sum(m) * 3.0 + 1e-6)
+
+    total = jnp.zeros(())
+    for v in losses.values():
+        total = total + v
+    return total, losses
+
+
+def make_train_step(
+    cfg: ExperimentConfig,
+    gen_apply: Callable,      # (variables, batch, rngs, prev_targets-aware) -> out dict
+    dis_apply_raw: Callable,  # (variables, img) -> (scores, features)
+    towers: LossTowers,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics). Jit/pjit-ready."""
+    gen_opt = make_optimizer(cfg.gen_opt)
+    dis_opt = make_optimizer(cfg.dis_opt)
+
+    def dis_apply(params_and_sn, img):
+        params, sn = params_and_sn
+        return dis_apply_raw({"params": params, "sn_state": sn}, img)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        metrics = {}
+
+        # ---------------- generator pass ----------------
+        def gen_loss_fn(gen_params):
+            out, new_sn = gen_apply(
+                {"params": gen_params, "sn_state": state.gen_sn_state}, batch, rng)
+            loss, losses = gen_losses(
+                cfg, out, batch,
+                lambda p, img: dis_apply((p, state.dis_sn_state), img),
+                state.dis_params, towers, state.prev_targets)
+            return loss, (losses, out, new_sn)
+
+        (gen_loss, (gen_losses_dict, out, new_gen_sn)), gen_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True)(state.gen_params)
+        gen_updates, gen_opt_state = gen_opt.update(
+            gen_grads, state.gen_opt_state, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, gen_updates)
+
+        # ---------------- discriminator pass ----------------
+        pred_detached = jax.lax.stop_gradient(out["pred_target_img"])
+        target = batch["target_img"]
+        if cfg.train.use_seg and "target_mask" in batch:
+            mask = batch["target_mask"]
+            target = target * mask
+            if cfg.train.green:
+                green = (1.0 - mask) * jnp.asarray([0.0, 1.0, 0.0], target.dtype)
+                target = target + green
+                pred_detached = pred_detached * mask + green
+
+        def dis_loss_fn(dis_params):
+            real_scores, _ = dis_apply((dis_params, state.dis_sn_state), target)
+            fake_scores, _ = dis_apply((dis_params, state.dis_sn_state), pred_detached)
+            return adversarial_loss_dis(real_scores, fake_scores)
+
+        dis_loss, dis_grads = jax.value_and_grad(dis_loss_fn)(state.dis_params)
+        dis_updates, dis_opt_state = dis_opt.update(
+            dis_grads, state.dis_opt_state, state.dis_params)
+        dis_params = optax.apply_updates(state.dis_params, dis_updates)
+
+        # ---------------- negatives queue ring update ----------------
+        prev = state.prev_targets
+        if prev is not None and "target_pose_embed" in out:
+            new_neg = jax.lax.stop_gradient(out["target_pose_embed"])[None]
+            prev = jnp.concatenate([prev[1:], new_neg.astype(prev.dtype)], axis=0)
+
+        metrics.update({f"gen/{k}": v for k, v in gen_losses_dict.items()})
+        metrics["gen/total"] = gen_loss
+        metrics["dis/adversarial"] = dis_loss
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            gen_sn_state=new_gen_sn,
+            gen_opt_state=gen_opt_state,
+            dis_params=dis_params,
+            dis_opt_state=dis_opt_state,
+            prev_targets=prev,
+        )
+        return new_state, metrics
+
+    return train_step

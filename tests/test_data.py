@@ -1,0 +1,71 @@
+"""Data pipeline tests: synthetic store round-trip, pair sampling, augmentation, splice
+and interleave semantics."""
+import numpy as np
+import pytest
+
+from emoportraits_tpu.data.augment import color_jitter, elastic_warp, random_flip_pair
+from emoportraits_tpu.data.pairs import InterleavedStream, PairDataset, splice_batches
+from emoportraits_tpu.data.records import ShardedClipStore, make_synthetic_store
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    make_synthetic_store(root, num_clips=6, frames_per_clip=8, image_size=64)
+    return ShardedClipStore(root, split="train")
+
+
+def test_store_reads_frames(store):
+    assert len(store) > 0
+    data = store.frames(0, [0, 3])
+    assert data["frames"].shape == (2, 64, 64, 3)
+    assert data["masks"].shape == (2, 64, 64)
+    assert data["keypoints"].shape == (2, 68, 3)
+
+
+def test_pair_dataset_batches(store):
+    ds = PairDataset(store, image_size=64, augment=True, seed=1)
+    batch = next(ds.batches(2))
+    assert batch["source_img"].shape == (2, 64, 64, 3)
+    assert batch["target_mask"].shape == (2, 64, 64, 1)
+    assert batch["source_warp_aug"].shape == (2, 64, 64, 3)
+    assert 0.0 <= batch["source_img"].min() and batch["source_img"].max() <= 1.0
+
+
+def test_per_host_sharding(store):
+    a = PairDataset(store, image_size=64, process_index=0, process_count=2)
+    b = PairDataset(store, image_size=64, process_index=1, process_count=2)
+    assert set(a.clip_ids).isdisjoint(set(b.clip_ids))
+    assert len(a.clip_ids) + len(b.clip_ids) == len(store)
+
+
+def test_splice_batches_semantics():
+    main = {"x": np.zeros((4, 2)), "only_main": np.ones((4, 1))}
+    second = {"x": np.ones((4, 2))}
+    out = splice_batches(main, second, keep_first=1)
+    assert (out["x"][0] == 0).all() and (out["x"][1:] == 1).all()
+    assert (out["only_main"] == 1).all()
+
+
+def test_interleave_cadence():
+    def const_stream(v):
+        while True:
+            yield {"x": np.full((2, 1), v)}
+
+    s = InterleavedStream(const_stream(0.0), const_stream(1.0), sec_dataset_every=2)
+    b0, b1, b2 = next(s), next(s), next(s)
+    assert b0["x"][1, 0] == 1.0   # step 0: spliced
+    assert b1["x"][1, 0] == 0.0   # step 1: main only
+    assert b2["x"][1, 0] == 1.0   # step 2: spliced
+
+
+def test_augment_shapes_and_ranges():
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 32, 3)).astype(np.float32)
+    cj = color_jitter(img, rng)
+    assert cj.shape == img.shape and cj.min() >= 0 and cj.max() <= 1
+    ew = elastic_warp(img, rng)
+    assert ew.shape == img.shape
+    assert not np.allclose(ew, img)  # actually warped
+    (f1, f2) = random_flip_pair((img, img.copy()), np.random.default_rng(4), p=1.0)
+    assert np.allclose(f1, img[:, ::-1])

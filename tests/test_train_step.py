@@ -1,0 +1,85 @@
+"""End-to-end train-step test on the tiny config: one full gen+dis step updates params,
+metrics finite, negatives queue rotates — the reference's training_step semantics
+(train.py:396-464) in one jitted program."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emoportraits_tpu.config import tiny_config
+from emoportraits_tpu.losses.perceptual import VGGFeatures, VGG19_STAGES
+from emoportraits_tpu.models.discriminator import MultiScaleDiscriminator
+from emoportraits_tpu.models.head_pose import HeadPoseRegressor
+from emoportraits_tpu.models.stage1 import VolumetricAvatar
+from emoportraits_tpu.train.forward import make_gen_apply
+from emoportraits_tpu.train.state import TrainState, param_count
+from emoportraits_tpu.train.step import LossTowers, make_train_step
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    hp = HeadPoseRegressor()
+
+    b, s = 2, 64
+    rng = np.random.default_rng(0)
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1)),
+        "target_mask": jnp.ones((b, s, s, 1)),
+    }
+    theta = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+    gen_vars = model.init(KEY, batch["source_img"], batch["source_mask"],
+                          batch["target_img"], theta, theta)
+    dis_vars = dis.init(KEY, batch["target_img"])
+    hp_vars = hp.init(KEY, batch["source_img"])
+
+    tower = VGGFeatures(stages=VGG19_STAGES)
+    tower_params = tower.init(KEY, jnp.zeros((1, s, s, 3)))
+
+    towers = LossTowers(
+        vgg19_apply=tower.apply, vgg19_params=tower_params,
+        head_pose_apply=lambda p, x, return_srt=False: hp.apply(p, x, return_srt),
+        head_pose_params=hp_vars,
+    )
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply, hp_vars)
+    dis_apply = lambda variables, img: dis.apply(variables, img)
+
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    step = make_train_step(cfg, gen_apply, dis_apply, towers)
+    return cfg, state, step, batch
+
+
+def test_one_train_step(setup):
+    cfg, state, step, batch = setup
+    jitted = jax.jit(step)
+    new_state, metrics = jitted(state, batch, jax.random.PRNGKey(1))
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite: {v}"
+    # params actually moved
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.gen_params, new_state.gen_params)
+    assert max(jax.tree.leaves(delta)) > 0
+    d_delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                           state.dis_params, new_state.dis_params)
+    assert max(jax.tree.leaves(d_delta)) > 0
+    # expression losses present (mixing/cycle branch ran)
+    assert "gen/pull_exp" in metrics and "gen/volumes_l1" in metrics
+    # negatives queue picked up the new batch embeds
+    assert float(jnp.abs(new_state.prev_targets).sum()) > 0
+
+
+def test_two_steps_stable(setup):
+    cfg, state, step, batch = setup
+    jitted = jax.jit(step)
+    s1, m1 = jitted(state, batch, jax.random.PRNGKey(1))
+    s2, m2 = jitted(s1, batch, jax.random.PRNGKey(2))
+    assert int(s2.step) == 2
+    assert np.isfinite(float(m2["gen/total"]))
