@@ -18,10 +18,14 @@ import numpy as np
 
 
 def main():
+    import dataclasses
+
     from emoportraits_tpu.config import ExperimentConfig
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
 
     cfg = ExperimentConfig()
+    # serving configuration: composed warp fields (one volume gather per frame)
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, fuse_warps=True))
     model = VolumetricAvatar(cfg.model)
     b, s = 1, cfg.train.image_size
 
@@ -33,11 +37,15 @@ def main():
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), z, m1, z, th, th)
 
     dev = jax.devices()[0]
+    # bf16 parameters + activations on device: MXU-native, halves HBM traffic.
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables)
     variables = jax.device_put(variables, dev)
     rng = np.random.default_rng(0)
-    src = jax.device_put(jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)), dev)
-    mask = jax.device_put(jnp.ones((b, s, s, 1), jnp.float32), dev)
-    drv = jax.device_put(jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)), dev)
+    bf16 = jnp.bfloat16
+    src = jax.device_put(jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32), bf16), dev)
+    mask = jax.device_put(jnp.ones((b, s, s, 1), bf16), dev)
+    drv = jax.device_put(jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32), bf16), dev)
     theta = jax.device_put(jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4)), dev)
 
     enc = jax.jit(lambda v, s_, m_, t_: model.apply(v, s_, m_, t_,

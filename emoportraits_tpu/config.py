@@ -290,6 +290,9 @@ class ModelConfig:
     use_mix_dis: bool = False
     grid_sample_padding_mode: str = "reflection"
     warp_norm_grad: bool = False
+    # Compose back-to-back warp fields into one volume gather on the inference paths
+    # (halves the hot-op bandwidth; off = exact reference semantics of two resamplings).
+    fuse_warps: bool = False
 
 
 @dataclass(frozen=True)

@@ -68,6 +68,25 @@ class VolumetricAvatar(nn.Module):
         if m.pred_volume_num_blocks > 0:
             self.volume_pred_nw = VPNResBlocks(m.vpn_source, **sn)
         self.decoder_nw = Decoder(m.decoder, **sn)
+        if m.use_back:
+            from .background import BackgroundAdding, BackgroundEncoder, UNet2D
+
+            cd = m.volume.channels * m.volume.depth
+            self.local_encoder_back_nw = BackgroundEncoder(m.local_encoder, m.volume)
+            self.background_process_nw = UNet2D(cd)
+            self.backgroung_adding_nw = BackgroundAdding(cd)
+        if m.use_tensor:
+            # learnable average-person volume added to the canonical volume
+            # (reference avarage_tensor_ts, va.py:205-209,543)
+            v = m.volume
+            import math as _math
+
+            bound = _math.sqrt(6.0 / (v.depth * v.size * v.size * v.channels))
+            self.avarage_tensor_ts = self.param(
+                "avarage_tensor_ts",
+                lambda rng, shape: jax.random.uniform(rng, shape, jnp.float32,
+                                                      -bound, bound),
+                (1, v.depth, v.size, v.size, v.channels))
 
     # ------------------------------------------------------------------ helpers
 
@@ -165,6 +184,8 @@ class VolumetricAvatar(nn.Module):
         canonical = self.volume_process_nw(
             self._grid_sample(self._grid_sample(latent_volume, source_rotation_warp),
                               xy_warp))
+        if self.cfg.use_tensor:
+            canonical = canonical + self.avarage_tensor_ts.astype(canonical.dtype)
         out["canonical_volume"] = canonical
 
         aligned = self._grid_sample(
@@ -172,7 +193,14 @@ class VolumetricAvatar(nn.Module):
         if self.cfg.pred_volume_num_blocks > 0:
             aligned = self.volume_pred_nw(aligned)
 
-        img, img_f = self.decoder_nw(self._collapse(aligned), target_embed,
+        collapsed = self._collapse(aligned)
+        if self.cfg.use_back:
+            # background branch: encode the inverse-masked source and merge
+            # (reference va.py:494-498, 579-584)
+            bg = self.local_encoder_back_nw(source_img * (1.0 - source_mask))
+            bg = self.background_process_nw(bg)
+            collapsed = self.backgroung_adding_nw(collapsed, bg)
+        img, img_f = self.decoder_nw(collapsed, target_embed,
                                      stage_two=stage_two)
         out["pred_target_img"] = img
         out["pred_feat"] = img_f
@@ -226,20 +254,38 @@ class VolumetricAvatar(nn.Module):
         rot_warp = self.rotation_warp(source_theta, invert=True)
         if self.cfg.source_volume_num_blocks > 0:
             latent_volume = self.volume_source_nw(latent_volume)
-        canonical = self.volume_process_nw(
-            self._grid_sample(self._grid_sample(latent_volume, rot_warp), xy_warp))
+        if self.cfg.fuse_warps:
+            # compose rot∘xy into one gather (see drive() docstring)
+            composed = grid_sample_3d(rot_warp, xy_warp.astype(rot_warp.dtype),
+                                      padding_mode="border")
+            warped = self._grid_sample(latent_volume, composed)
+        else:
+            warped = self._grid_sample(self._grid_sample(latent_volume, rot_warp),
+                                       xy_warp)
+        canonical = self.volume_process_nw(warped)
         return AvatarState(canonical, idt_embed, source_pose_embed)
 
     def drive(self, state: AvatarState, driver_img: jax.Array,
               driver_theta: jax.Array, *, stage_two: bool = False):
         """Per driver frame: expression embed -> uv warp -> rotate -> decode
-        (reference infer.py:557-638 DRIVER path)."""
+        (reference infer.py:557-638 DRIVER path).
+
+        When cfg.fuse_warps, the uv and rotation warps are COMPOSED into one field
+        (sample the uv field at the rotated grid) so the canonical volume is gathered
+        once instead of twice — same math to first order in field smoothness, half the
+        gather bandwidth of the reference's back-to-back grid_samples (infer.py:618-619).
+        """
         pose_embed = self.expression_vector(driver_img, driver_theta)
         embed = self.fuse_embed(pose_embed, state.idt_embed)
         uv_warp, _ = self.uv_generator_nw(embed)
         rot_warp = self.rotation_warp(driver_theta, invert=False)
-        aligned = self._grid_sample(
-            self._grid_sample(state.canonical_volume, uv_warp), rot_warp)
+        if self.cfg.fuse_warps:
+            composed = grid_sample_3d(uv_warp, rot_warp.astype(uv_warp.dtype),
+                                      padding_mode="border")
+            aligned = self._grid_sample(state.canonical_volume, composed)
+        else:
+            aligned = self._grid_sample(
+                self._grid_sample(state.canonical_volume, uv_warp), rot_warp)
         if self.cfg.pred_volume_num_blocks > 0:
             aligned = self.volume_pred_nw(aligned)
         img, img_f = self.decoder_nw(self._collapse(aligned), embed,

@@ -1,0 +1,159 @@
+"""Trainer: epoch loop, multi-stream interleave, eval metrics, checkpointing.
+
+Reference: train.py:38-470 — Trainer.__init__ builds model/optimizers/datasets/logger
+and wraps in DDP; train() runs epochs with FEED/MEAD splicing, per-epoch test loop under
+no-grad computing SSIM/PSNR/LPIPS (train.py:305-353), and checkpoint save/load
+(:357-391, :100-171). TPU-native differences:
+  * one jitted train step (gen+dis) over a data mesh replaces the DDP/optimizer loop;
+  * the input pipeline is host-side numpy feeding sharded device batches;
+  * checkpoints are orbax (train/checkpoint.py), metrics go to JSONL/W&B (train/logger.py).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..losses import psnr as psnr_metric
+from ..losses import ssim as ssim_metric
+from ..losses.perceptual import VGG19_STAGES, VGGFeatures
+from ..models.discriminator import MultiScaleDiscriminator
+from ..models.head_pose import HeadPoseRegressor
+from ..models.stage1 import VolumetricAvatar
+from ..parallel.mesh import (
+    make_data_mesh,
+    make_sharded_train_step,
+    replicate_state,
+    shard_batch,
+)
+from .checkpoint import CheckpointManager
+from .forward import make_gen_apply
+from .logger import MetricsLogger
+from .state import TrainState, param_count
+from .step import LossTowers, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, train_stream: Iterator,
+                 test_stream: Optional[Iterator] = None,
+                 log_dir: str = "logs", checkpoint_dir: Optional[str] = None,
+                 tower_variables: Optional[Dict] = None):
+        self.cfg = cfg
+        self.train_stream = train_stream
+        self.test_stream = test_stream
+
+        key = jax.random.PRNGKey(cfg.train.seed)
+        self.model = VolumetricAvatar(cfg.model)
+        self.dis = MultiScaleDiscriminator(cfg.model.discriminator)
+        self.head_pose = HeadPoseRegressor()
+
+        s = cfg.train.image_size
+        b = cfg.train.batch_size
+        z = jnp.zeros((b, s, s, 3), jnp.float32)
+        m1 = jnp.ones((b, s, s, 1), jnp.float32)
+        th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        with jax.default_device(jax.devices("cpu")[0]):
+            gen_vars = jax.jit(self.model.init)(key, z, m1, z, th, th)
+            dis_vars = jax.jit(self.dis.init)(key, z)
+            hp_vars = (tower_variables or {}).get("head_pose") or \
+                jax.jit(self.head_pose.init)(key, z)
+            tower = VGGFeatures(stages=VGG19_STAGES)
+            vgg_vars = (tower_variables or {}).get("vgg19") or \
+                jax.jit(tower.init)(key, jnp.zeros((1, s, s, 3), jnp.float32))
+
+        towers = LossTowers(
+            vgg19_apply=tower.apply, vgg19_params=vgg_vars,
+            head_pose_apply=lambda p, x, return_srt=False: self.head_pose.apply(
+                p, x, return_srt),
+            head_pose_params=hp_vars,
+        )
+        gen_apply = make_gen_apply(cfg, self.model, towers.head_pose_apply, hp_vars)
+        dis_apply = lambda variables, img: self.dis.apply(variables, img)
+
+        global_b = b * jax.local_device_count() * jax.process_count()
+        self.state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=global_b)
+        step = make_train_step(cfg, gen_apply, dis_apply, towers)
+
+        self.mesh = make_data_mesh()
+        self.sharded_step = make_sharded_train_step(step, self.mesh)
+        self.state = replicate_state(self.state, self.mesh)
+
+        self.logger = MetricsLogger(log_dir, cfg.train.logging_freq,
+                                    experiment_name=cfg.experiment_name)
+        self.ckpt = (CheckpointManager(checkpoint_dir, cfg)
+                     if checkpoint_dir else None)
+        if self.ckpt is not None and self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            self.logger.iteration = int(self.state.step)
+        self._hp_vars = hp_vars
+        self._eval_drive = None
+        print(f"generator params: {param_count(self.state.gen_params) / 1e6:.1f}M, "
+              f"discriminator params: {param_count(self.state.dis_params) / 1e6:.1f}M")
+
+    # ------------------------------------------------------------------- loops
+
+    def train_epoch(self, num_iters: Optional[int] = None) -> Dict[str, float]:
+        num_iters = num_iters or self.cfg.train.train_epoch_len
+        rng = jax.random.PRNGKey(int(self.logger.iteration))
+        last = {}
+        for i in range(num_iters):
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in next(self.train_stream).items()
+                 if k in ("source_img", "target_img", "source_mask", "target_mask")},
+                self.mesh)
+            rng, step_rng = jax.random.split(rng)
+            self.state, metrics = self.sharded_step(self.state, batch, step_rng)
+            flushed = self.logger.log(metrics)
+            if flushed:
+                last = flushed
+        return last
+
+    def evaluate(self, num_batches: int = 8) -> Dict[str, float]:
+        """Held-out eval computing SSIM/PSNR on self-reenactment pairs
+        (reference test loop train.py:305-353, metrics va_losses_and_visuals.py:638-723)."""
+        if self.test_stream is None:
+            return {}
+        if self._eval_drive is None:
+            m = self.model
+            enc = jax.jit(lambda v, s_, mk, t: m.apply(v, s_, mk, t,
+                                                       method=m.encode_source))
+            drv = jax.jit(lambda v, st, d, t: m.apply(v, st, d, t,
+                                                      method=m.drive)[0])
+            hp = jax.jit(lambda p, x: self.head_pose.apply(p, x))
+            self._eval_drive = (enc, drv, hp)
+        enc, drv, hp = self._eval_drive
+        variables = {"params": self.state.gen_params,
+                     "sn_state": self.state.gen_sn_state}
+        ssims, psnrs = [], []
+        for _ in range(num_batches):
+            batch = next(self.test_stream)
+            src = jnp.asarray(batch["source_img"])
+            tgt = jnp.asarray(batch["target_img"])
+            mask = jnp.asarray(batch.get("source_mask", np.ones_like(src[..., :1])))
+            s_theta = hp(self._hp_vars, src)
+            t_theta = hp(self._hp_vars, tgt)
+            st = enc(variables, src, mask, s_theta)
+            pred = drv(variables, st, tgt, t_theta)
+            ssims.append(float(ssim_metric(pred, tgt)))
+            psnrs.append(float(psnr_metric(pred, tgt)))
+        return {"test/ssim": float(np.mean(ssims)), "test/psnr": float(np.mean(psnrs))}
+
+    def fit(self, epochs: Optional[int] = None, iters_per_epoch: Optional[int] = None):
+        epochs = epochs or self.cfg.train.max_epochs
+        for epoch in range(self.logger.epoch, epochs):
+            self.logger.epoch = epoch
+            t0 = time.time()
+            train_metrics = self.train_epoch(iters_per_epoch)
+            eval_metrics = self.evaluate()
+            if self.logger.is_leader:
+                print(f"epoch {epoch}: {time.time() - t0:.1f}s "
+                      f"train={train_metrics} eval={eval_metrics}")
+            if self.ckpt is not None and \
+                    epoch % self.cfg.train.latest_checkpoint_freq == 0:
+                self.ckpt.save(int(self.state.step), self.state)
+        if self.ckpt is not None:
+            self.ckpt.wait()
