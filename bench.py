@@ -4,12 +4,17 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. Baseline: the
 BASELINE.json north-star of 30 fps per-avatar 512px on one v5e chip (the reference
 publishes no numbers — README.md:161-163).
 
-Runs on whatever accelerator jax exposes; params are initialized on the host CPU (fast)
-and transferred, then encode_source runs once and the drive step is timed hot.
+Env knobs:
+  BENCH_MODE = plain_f32 (default) | fused_f32 | bf16 | fused_bf16
+      fused_* composes the uv+rotation warps into one volume gather (cfg.fuse_warps);
+      bf16 runs parameters+activations in bfloat16.
+  BENCH_BATCH = concurrent avatars per chip (default 1).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -18,16 +23,18 @@ import numpy as np
 
 
 def main():
-    import dataclasses
-
     from emoportraits_tpu.config import ExperimentConfig
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
 
+    mode = os.environ.get("BENCH_MODE", "plain_f32")
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+
     cfg = ExperimentConfig()
-    # serving configuration: composed warp fields (one volume gather per frame)
-    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, fuse_warps=True))
+    if "fused" in mode:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fuse_warps=True))
     model = VolumetricAvatar(cfg.model)
-    b, s = 1, cfg.train.image_size
+    b, s = batch, cfg.train.image_size
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -36,17 +43,19 @@ def main():
         th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), z, m1, z, th, th)
 
+    dtype = jnp.bfloat16 if "bf16" in mode else jnp.float32
+    if dtype == jnp.bfloat16:
+        variables = jax.tree.map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
+
     dev = jax.devices()[0]
-    # bf16 parameters + activations on device: MXU-native, halves HBM traffic.
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables)
     variables = jax.device_put(variables, dev)
     rng = np.random.default_rng(0)
-    bf16 = jnp.bfloat16
-    src = jax.device_put(jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32), bf16), dev)
-    mask = jax.device_put(jnp.ones((b, s, s, 1), bf16), dev)
-    drv = jax.device_put(jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32), bf16), dev)
-    theta = jax.device_put(jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4)), dev)
+    src = jax.device_put(jnp.asarray(rng.random((b, s, s, 3), np.float32), dtype), dev)
+    mask = jax.device_put(jnp.ones((b, s, s, 1), dtype), dev)
+    drv = jax.device_put(jnp.asarray(rng.random((b, s, s, 3), np.float32), dtype), dev)
+    theta = jax.device_put(jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4)),
+                           dev)
 
     enc = jax.jit(lambda v, s_, m_, t_: model.apply(v, s_, m_, t_,
                                                     method=model.encode_source))
@@ -63,7 +72,7 @@ def main():
         img = drv_fn(variables, state, drv, theta)
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / n
-    fps = 1.0 / dt
+    fps = batch / dt
 
     print(json.dumps({
         "metric": "drive_fps_512px_per_chip",

@@ -293,6 +293,9 @@ class ModelConfig:
     # Compose back-to-back warp fields into one volume gather on the inference paths
     # (halves the hot-op bandwidth; off = exact reference semantics of two resamplings).
     fuse_warps: bool = False
+    # Rematerialize the heavy subnets in the backward pass (jax.checkpoint) — trades
+    # FLOPs for activation memory during GAN training at 512px.
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -26,12 +26,22 @@ from ..models.stage1 import AvatarState, VolumetricAvatar
 
 class InferenceWrapper:
     def __init__(self, cfg: ExperimentConfig, variables, head_pose_variables=None,
-                 theta_momentum: float = 0.0, device=None):
+                 theta_momentum: float = 0.0, device=None,
+                 stage2_variables=None):
         self.cfg = cfg
         self.model = VolumetricAvatar(cfg.model)
         self.head_pose = HeadPoseRegressor()
         self.device = device or jax.devices()[0]
         self.variables = jax.device_put(variables, self.device)
+        # optional stage-2 enhancer cascade (reference infer_s2.py:352-390)
+        self._stage2 = None
+        if stage2_variables is not None:
+            from ..models.stage2 import Stage2Enhancer
+
+            enh = Stage2Enhancer(cfg.stage2)
+            s2_vars = jax.device_put(stage2_variables, self.device)
+            self._stage2 = jax.jit(
+                lambda img, mask: enh.apply(s2_vars, img, mask))
         self.head_pose_variables = (
             jax.device_put(head_pose_variables, self.device)
             if head_pose_variables is not None else None)
@@ -101,8 +111,15 @@ class InferenceWrapper:
             theta = (self.theta_momentum * self._prev_theta
                      + (1.0 - self.theta_momentum) * theta)
         self._prev_theta = theta
-        if stage_two:
-            return self._drive_s2(self.variables, self._state, drv, theta)
+        if stage_two or self._stage2 is not None:
+            img, img_f = self._drive_s2(self.variables, self._state, drv, theta)
+            if self._stage2 is not None:
+                # additive-residual refinement; full-frame mask unless a matting/
+                # parsing net is plugged in (reference recomputes MODNet x BiSeNet
+                # masks, volumetric_avatar_two.py:611-614)
+                img = self._stage2(img, jnp.ones_like(img[..., :1]))
+                return img
+            return img, img_f
         return self._drive(self.variables, self._state, drv, theta)
 
     @classmethod

@@ -70,6 +70,26 @@ def contrastive_loss(pos_dot: jax.Array, neg_dot: jax.Array,
     return jnp.sum(loss)
 
 
+def barlow_twins_loss(a: jax.Array, b: jax.Array, lambd: float = 1.0 / 512,
+                      axis_name: str | None = None) -> jax.Array:
+    """Barlow-twins decorrelation between two embedding batches (off in prod, weight 0;
+    reference va_losses_and_visuals.py:440-456 — batch-normalized cross-correlation,
+    `all_reduce(c)` across ranks -> here an optional `psum` over the mesh axis).
+    a, b: (B, D)."""
+    def bn(x):
+        mu = jnp.mean(x, axis=0, keepdims=True)
+        sd = jnp.std(x, axis=0, keepdims=True) + 1e-5
+        return (x - mu) / sd
+
+    c = bn(a).T @ bn(b) / a.shape[0]
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
+    on_diag = jnp.sum((jnp.diagonal(c) - 1.0) ** 2)
+    off = c - jnp.diag(jnp.diagonal(c))
+    off_diag = jnp.sum(off ** 2)
+    return on_diag + lambd * off_diag
+
+
 def contrastive_exp_loss(pred_exp: jax.Array, target_exp: jax.Array,
                          source_exp: Optional[jax.Array] = None,
                          t: float = 0.2, m: float = 0.2) -> jax.Array:

@@ -57,6 +57,29 @@ def align_face_crop(img: jax.Array, theta: jax.Array, grid_size: int) -> jax.Arr
     return grid_sample_2d(img, grid.astype(img.dtype), padding_mode="zeros")
 
 
+def estimate_theta_from_keypoints(keypoints: jax.Array,
+                                  canonical: jax.Array) -> jax.Array:
+    """Closed-form head theta from 68 3D landmarks vs the canonical template.
+
+    Replaces the reference's 5-step LBFGS inner optimization
+    (expression_embedder.py:255-300, torch.optim.LBFGS fitting scale/yaw/pitch/roll/t
+    to `data/aligned_keypoints_3d.npy`) with a batched Umeyama solve — same similarity
+    family, exact minimizer, jit-safe (SURVEY.md §3.4).
+
+    keypoints: (B, 68, 3) in [-1, 1]; canonical: (68, 3) template. Returns (B, 4, 4)
+    theta mapping keypoints -> canonical frame.
+    """
+    from ..geometry.transforms import procrustes
+
+    b = keypoints.shape[0]
+    canon = jnp.broadcast_to(canonical[None], (b, *canonical.shape))
+    scale, r, t = procrustes(keypoints, canon)
+    theta = jnp.zeros((b, 4, 4), keypoints.dtype)
+    theta = theta.at[:, :3, :3].set(scale[:, None, None] * r)
+    theta = theta.at[:, :3, 3].set(t)
+    return theta.at[:, 3, 3].set(1.0)
+
+
 class ExpressionEmbed(nn.Module):
     cfg: ExpressionEmbedConfig
     pool_size: int = 4  # lpe_output_size

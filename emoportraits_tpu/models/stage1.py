@@ -52,7 +52,12 @@ class VolumetricAvatar(nn.Module):
     def setup(self):
         m = self.cfg
         sn = dict(use_ws=m.use_ws, use_sn=m.use_sn)
-        self.local_encoder_nw = LocalEncoder(m.local_encoder, m.volume, **sn)
+        # optional rematerialization of the memory-heavy subnets (activation memory at
+        # 512px training; SURVEY.md §5 long-context analog: bf16 + remat, not sharding)
+        LocalEncoder_ = nn.remat(LocalEncoder) if m.remat else LocalEncoder
+        Unet3D_ = nn.remat(Unet3D) if m.remat else Unet3D
+        Decoder_ = nn.remat(Decoder, static_argnums=(3,)) if m.remat else Decoder
+        self.local_encoder_nw = LocalEncoder_(m.local_encoder, m.volume, **sn)
         self.idt_embedder_nw = IdtEmbed(m.idt_embedder)
         self.expression_embedder_nw = ExpressionEmbed(m.expression_embedder)
         # Linear 128 -> 512*E^2 lifting the expression vec to a spatial embed (va.py:172-176)
@@ -148,6 +153,7 @@ class VolumetricAvatar(nn.Module):
         mixing_theta: Optional[jax.Array] = None,
         deterministic: bool = True,
         stage_two: bool = False,
+        match_neutral: bool = False,
     ) -> Dict[str, Any]:
         """Training/inference forward for a (source, target) pair
         (reference G_forward, va.py:287-765; prod flag settings).
@@ -204,6 +210,23 @@ class VolumetricAvatar(nn.Module):
                                      stage_two=stage_two)
         out["pred_target_img"] = img
         out["pred_feat"] = img_f
+
+        if match_neutral:
+            # decode the UNWARPED canonical volume -> neutral face; its central-crop
+            # expression vector is pulled to zero by the neutral losses
+            # (reference match_neutral branch, va.py:595-614).
+            neutral_img, _ = self.decoder_nw(self._collapse(canonical), target_embed)
+            out["pred_neutral_img"] = neutral_img
+            s4 = neutral_img.shape[1] // 4
+            out["pred_neutral_img_aligned"] = neutral_img[:, s4:3 * s4, s4:3 * s4]
+            out["pred_neutral_expr_vector"] = self.expression_embedder_nw(
+                jax.image.resize(
+                    out["pred_neutral_img_aligned"],
+                    (neutral_img.shape[0],
+                     self.cfg.expression_embedder.image_size // 2,
+                     self.cfg.expression_embedder.image_size // 2, 3),
+                    method="linear"),
+                deterministic=True)
 
         if mixing_theta is not None:
             # Mixing branch: rolled expression drives the canonical volume under a

@@ -129,3 +129,16 @@ def test_perceptual_loss_runs_and_zero_on_identical():
     z = float(perceptual_loss(apply_fn, params, a, a, num_scales=2))
     nz = float(perceptual_loss(apply_fn, params, a, b, num_scales=2))
     assert z < 1e-6 and nz > z
+
+
+def test_barlow_twins_loss():
+    from emoportraits_tpu.losses.expression import barlow_twins_loss
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    # identical, perfectly correlated batches -> near-zero on-diagonal term
+    same = float(barlow_twins_loss(a, a))
+    diff = float(barlow_twins_loss(a, jnp.asarray(
+        rng.standard_normal((8, 16)).astype(np.float32))))
+    assert same < diff
+    assert np.isfinite(same) and np.isfinite(diff)
