@@ -5,10 +5,13 @@ BASELINE.json north-star of 30 fps per-avatar 512px on one v5e chip (the referen
 publishes no numbers — README.md:161-163).
 
 Env knobs:
-  BENCH_MODE = plain_f32 (default) | fused_f32 | bf16 | fused_bf16
+  BENCH_MODE = fused_bf16 (default) | plain_f32 | fused_f32 | plain_bf16
       fused_* composes the uv+rotation warps into one volume gather (cfg.fuse_warps);
       bf16 runs parameters+activations in bfloat16.
   BENCH_BATCH = concurrent avatars per chip (default 1).
+
+Measured on TPU v5e (single chip, 512px): plain_f32 41.6 fps, fused_f32 43.4,
+plain_bf16 53.6, fused_bf16 54.6 fps.
 """
 from __future__ import annotations
 
@@ -26,7 +29,7 @@ def main():
     from emoportraits_tpu.config import ExperimentConfig
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
 
-    mode = os.environ.get("BENCH_MODE", "plain_f32")
+    mode = os.environ.get("BENCH_MODE", "fused_bf16")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
 
     cfg = ExperimentConfig()

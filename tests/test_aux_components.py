@@ -153,3 +153,15 @@ def test_face_parser_masks():
     for k in ("mask", "face", "eyes", "mouth", "ears", "cloth", "body"):
         assert masks[k].shape == (1, 64, 64, 1), k
         assert float(masks[k].max()) <= 1.0 and float(masks[k].min()) >= 0.0
+
+
+def test_senet50_shapes():
+    from emoportraits_tpu.models.backbones.senet import SENet50
+
+    net = SENet50(layers=(1, 1, 1, 1))  # shallow variant for test speed
+    x = jnp.ones((1, 64, 64, 3))
+    p = net.init(KEY, x)
+    emb, taps = net.apply(p, x)
+    assert emb.shape == (1, 2048)
+    assert set(taps) == {"relu1", "relu2", "relu3", "relu4", "relu5"}
+    assert taps["relu5"].shape[-1] == 2048
