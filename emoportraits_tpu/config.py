@@ -305,6 +305,7 @@ class Stage2Config:
     num_channels: int = 64
     max_channels: int = 512
     num_blocks: int = 8
+    latent_size: int = 64   # encoder bottleneck resolution
     norm: str = "gn"
     activation: str = "relu"
 

@@ -47,6 +47,7 @@ class InferenceWrapper:
             if head_pose_variables is not None else None)
         self.theta_momentum = theta_momentum
         self._prev_theta = None
+        self._source_theta = None
         self._state: Optional[AvatarState] = None
         self._crop_fn: Optional[Callable] = None
 
@@ -97,6 +98,7 @@ class InferenceWrapper:
             mask = self._prep(source_mask)[..., :1]
         theta = self._estimate_theta(src)
         self._state = self._encode(self.variables, src, mask, theta)
+        self._source_theta = theta
         self._prev_theta = None
 
     def forward(self, driver_image: np.ndarray, *, smooth_pose: bool = True,
@@ -120,6 +122,27 @@ class InferenceWrapper:
                 img = self._stage2(img, jnp.ones_like(img[..., :1]))
                 return img
             return img, img_f
+        return self._drive(self.variables, self._state, drv, theta)
+
+    def forward_mixed_pose(self, driver_image: np.ndarray):
+        """Cross-identity reenactment with the MIXING pose: keep the driver's rotation
+        and translation but the source's scale/stretch via polar decomposition
+        (reference optional mixing theta at inference, infer.py:686 +
+        get_mixing_theta semantics). Uses the source theta captured at set_source."""
+        assert self._state is not None, "call set_source() first"
+        from ..geometry.transforms import get_mixing_theta
+
+        drv = self._prep(driver_image)
+        driver_theta = self._estimate_theta(drv)
+        if self._source_theta is None:
+            theta = driver_theta
+        else:
+            mix = get_mixing_theta(self._source_theta[:, :3],
+                                   driver_theta[:, :3])
+            b = mix.shape[0]
+            bottom = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 0.0, 1.0], mix.dtype), (b, 1, 4))
+            theta = jnp.concatenate([mix, bottom], axis=1)
         return self._drive(self.variables, self._state, drv, theta)
 
     @classmethod

@@ -27,7 +27,10 @@ from ..ops.blocks import Conv, GroupNorm, ResBlock, activation_fn
 
 class Stage2Enhancer(nn.Module):
     cfg: Stage2Config
-    latent_size: int = 64  # encoder bottleneck resolution
+
+    @property
+    def latent_size(self) -> int:
+        return self.cfg.latent_size
 
     @nn.compact
     def __call__(self, resized_pred: jax.Array, face_mask: jax.Array,

@@ -142,6 +142,44 @@ class Trainer:
             psnrs.append(float(psnr_metric(pred, tgt)))
         return {"test/ssim": float(np.mean(ssims)), "test/psnr": float(np.mean(psnrs))}
 
+    def install_preemption_handler(self) -> None:
+        """Save a checkpoint on SIGTERM/SIGINT before exiting — preemption tolerance
+        the reference lacks (SURVEY.md §5: 'failure detection: none'; resume there is
+        manual). Safe to call once before fit()."""
+        import signal
+        import sys
+
+        def _handler(signum, frame):
+            if self.ckpt is not None:
+                self.ckpt.save(int(self.state.step), self.state)
+                self.ckpt.wait()
+            sys.exit(0)
+
+        signal.signal(signal.SIGTERM, _handler)
+        signal.signal(signal.SIGINT, _handler)
+
+    def collect_expression_vectors(self, num_batches: int = 4):
+        """Gather expression embeddings over held-out data for the PCA diagnostics
+        (reference saves exp vectors per test epoch, va_losses_and_visuals.py:670-674)."""
+        import numpy as np
+
+        if self.test_stream is None:
+            return None
+        if self._eval_drive is None:
+            self.evaluate(num_batches=0)
+        _, _, hp = self._eval_drive
+        expr = jax.jit(lambda v, d, t: self.model.apply(
+            v, d, t, method=self.model.expression_vector))
+        variables = {"params": self.state.gen_params,
+                     "sn_state": self.state.gen_sn_state}
+        vecs = []
+        for _ in range(num_batches):
+            batch = next(self.test_stream)
+            img = jnp.asarray(batch["target_img"])
+            theta = hp(self._hp_vars, img)
+            vecs.append(np.asarray(expr(variables, img, theta)))
+        return np.concatenate(vecs)
+
     def fit(self, epochs: Optional[int] = None, iters_per_epoch: Optional[int] = None):
         epochs = epochs or self.cfg.train.max_epochs
         for epoch in range(self.logger.epoch, epochs):

@@ -1,0 +1,74 @@
+"""InferenceWrapper end-to-end on the tiny config: set_source -> forward frames, pose
+momentum, mixed-pose drive, stage-2 cascade."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emoportraits_tpu.config import Stage2Config, tiny_config
+from emoportraits_tpu.infer.wrapper import InferenceWrapper
+from emoportraits_tpu.models.head_pose import HeadPoseRegressor
+from emoportraits_tpu.models.stage1 import VolumetricAvatar
+from emoportraits_tpu.models.stage2 import Stage2Enhancer
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def wrapper():
+    cfg = tiny_config()
+    model = VolumetricAvatar(cfg.model)
+    s = cfg.train.image_size
+    z = jnp.zeros((1, s, s, 3))
+    m1 = jnp.ones((1, s, s, 1))
+    th = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    variables = model.init(KEY, z, m1, z, th, th)
+    hp = HeadPoseRegressor()
+    hp_vars = hp.init(KEY, z)
+    return InferenceWrapper(cfg, variables, head_pose_variables=hp_vars,
+                            theta_momentum=0.5)
+
+
+def test_set_source_and_forward(wrapper):
+    rng = np.random.default_rng(0)
+    src = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    wrapper.set_source(src)
+    out1 = np.asarray(wrapper.forward((rng.random((64, 64, 3)) * 255).astype(np.uint8)))
+    assert out1.shape == (1, 64, 64, 3)
+    assert 0.0 <= out1.min() and out1.max() <= 1.0
+    # momentum state advanced
+    assert wrapper._prev_theta is not None
+    out2 = np.asarray(wrapper.forward((rng.random((64, 64, 3)) * 255).astype(np.uint8)))
+    assert not np.allclose(out1, out2)
+
+
+def test_forward_mixed_pose(wrapper):
+    rng = np.random.default_rng(1)
+    out = np.asarray(wrapper.forward_mixed_pose(
+        (rng.random((64, 64, 3)) * 255).astype(np.uint8)))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_stage2_cascade():
+    cfg = tiny_config()
+    model = VolumetricAvatar(cfg.model)
+    s = cfg.train.image_size
+    z = jnp.zeros((1, s, s, 3))
+    m1 = jnp.ones((1, s, s, 1))
+    th = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    variables = model.init(KEY, z, m1, z, th, th)
+    s2cfg = Stage2Config(image_size=s, num_channels=4, max_channels=16, num_blocks=1, latent_size=16)
+    enh = Stage2Enhancer(s2cfg)
+    s2_vars = enh.init(KEY, jnp.zeros((1, s, s, 3)), jnp.ones((1, s, s, 1)))
+    # wrapper must accept the matching stage2 module config
+    w = InferenceWrapper(dataclasses.replace(cfg, stage2=s2cfg), variables,
+                         stage2_variables=s2_vars)
+    rng = np.random.default_rng(2)
+    w.set_source((rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    out = np.asarray(w.forward((rng.random((64, 64, 3)) * 255).astype(np.uint8)))
+    assert out.shape == (1, 64, 64, 3)
+    assert 0.0 <= out.min() and out.max() <= 1.0

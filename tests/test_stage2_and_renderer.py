@@ -12,8 +12,8 @@ KEY = jax.random.PRNGKey(0)
 
 
 def test_stage2_residual_refinement():
-    cfg = Stage2Config(image_size=64, num_channels=8, max_channels=32, num_blocks=2)
-    m = Stage2Enhancer(cfg, latent_size=16)
+    cfg = Stage2Config(image_size=64, num_channels=8, max_channels=32, num_blocks=2, latent_size=16)
+    m = Stage2Enhancer(cfg)
     rng = np.random.default_rng(0)
     pred = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
     mask = jnp.ones((2, 64, 64, 1))
