@@ -234,6 +234,8 @@ class TrainConfig:
     image_size: int = 512
     aug_warp_size: int = 512
     use_seg: bool = True
+    # mask refinement by the face parser happens in the input pipeline / dataset
+    # (reference combines BiSeNet masks with dataset mattes on device, va.py:297-361)
     use_mix_mask: bool = True
     green: bool = True               # green-screen background compositing
     sec_dataset_every: int = 4       # FEED batch-splicing cadence (train.py:233-249)
@@ -249,7 +251,7 @@ class TrainConfig:
     checkpoint_freq: int = 10
     latest_checkpoint_freq: int = 1
     seed: int = 0
-    bf16_activations: bool = True
+    bf16_activations: bool = False  # cast batch inputs to bf16 (fp32 params)
     remat: bool = True
 
 

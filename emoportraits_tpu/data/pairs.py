@@ -101,6 +101,56 @@ def splice_batches(main: Dict[str, np.ndarray], second: Dict[str, np.ndarray],
     return out
 
 
+class Prefetcher:
+    """Background-thread batch prefetching so host sampling/augmentation overlaps
+    device compute (the reference relies on torch DataLoader workers for this;
+    voxceleb2hq_pairs.py:650-683). Exhaustion of the wrapped stream raises
+    StopIteration in the consumer (sentinel-based); close() unblocks the worker."""
+
+    _SENTINEL = object()
+
+    def __init__(self, stream: Iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = False
+
+        def worker():
+            try:
+                for batch in stream:
+                    while not self._stop:
+                        try:
+                            self._q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop:
+                        return
+            finally:
+                while not self._stop:
+                    try:
+                        self._q.put(self._SENTINEL, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop = True
+
+
 class InterleavedStream:
     """Main stream + optional second/third streams with the reference cadence:
     every `sec_dataset_every` steps the batch is spliced with the FEED stream, and

@@ -33,6 +33,10 @@ class InferenceWrapper:
         self.head_pose = HeadPoseRegressor()
         self.device = device or jax.devices()[0]
         self.variables = jax.device_put(variables, self.device)
+        # serve in the parameters' dtype (bf16 params -> bf16 activations)
+        leaves = jax.tree.leaves(self.variables.get("params", self.variables))
+        self._dtype = leaves[0].dtype if leaves and leaves[0].dtype in (
+            jnp.bfloat16, jnp.float32) else jnp.float32
         # optional stage-2 enhancer cascade (reference infer_s2.py:352-390)
         self._stage2 = None
         if stage2_variables is not None:
@@ -81,12 +85,26 @@ class InferenceWrapper:
             img = np.asarray(
                 Image.fromarray((img * 255).astype(np.uint8)).resize((s, s))
             ).astype(np.float32) / 255.0
-        return jax.device_put(jnp.asarray(img)[None], self.device)
+        return jax.device_put(jnp.asarray(img, self._dtype)[None], self.device)
 
     def _estimate_theta(self, img: jax.Array) -> jax.Array:
         if self.head_pose_variables is None:
             return jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (img.shape[0], 4, 4))
         return self._theta(self.head_pose_variables, img)
+
+    def _prep_mask(self, mask: np.ndarray, size: int) -> jax.Array:
+        """(H, W) or (H, W, C) alpha/matte in uint8 or float -> (1, S, S, 1)."""
+        m = np.asarray(mask)
+        if m.dtype == np.uint8:
+            m = m.astype(np.float32) / 255.0
+        if m.ndim == 3:
+            m = m[..., 0]
+        if m.shape != (size, size):
+            ys = np.linspace(0, m.shape[0] - 1, size).astype(int)
+            xs = np.linspace(0, m.shape[1] - 1, size).astype(int)
+            m = m[ys][:, xs]
+        return jax.device_put(jnp.asarray(m, self._dtype)[None, ..., None],
+                              self.device)
 
     def set_source(self, source_image: np.ndarray,
                    source_mask: Optional[np.ndarray] = None) -> None:
@@ -95,7 +113,7 @@ class InferenceWrapper:
         if source_mask is None:
             mask = jnp.ones_like(src[..., :1])
         else:
-            mask = self._prep(source_mask)[..., :1]
+            mask = self._prep_mask(source_mask, self.cfg.train.image_size)
         theta = self._estimate_theta(src)
         self._state = self._encode(self.variables, src, mask, theta)
         self._source_theta = theta

@@ -27,8 +27,12 @@ from ..ops.blocks import Conv
 VGG19_STAGES = ((2, 64), (2, 128), (4, 256), (4, 512), (4, 512))
 VGG16_STAGES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
 
-# VGGFace (vgg_face_dag) BGR-ish mean in 0-255 space (reference perceptual.py:163-166).
-VGGFACE_MEAN = jnp.array([129.186279296875, 104.76238250732422, 93.59396362304688]) / 255.0
+# Raw-mean normalization used by the reference's face_resnet/SENet tower
+# (perceptual.py:163-166, face_norm=True with apply_normalization=False): the mean is
+# subtracted in 0-255 space, so callers must feed 0-255-scaled images in this mode.
+# NOTE: the vgg19_face tower does NOT use this — it uses ImageNet normalization
+# (PerceptualLoss defaults, init_losses va_losses_and_visuals.py:739-742).
+FACE_RESNET_MEAN = jnp.array([131.0912, 103.8827, 91.4953])
 
 
 class VGGFeatures(nn.Module):
@@ -87,10 +91,11 @@ def perceptual_loss(
     if normalization == "imagenet":
         pred = (pred - IMAGENET_MEAN.astype(pred.dtype)) / IMAGENET_STD.astype(pred.dtype)
         target = (target - IMAGENET_MEAN.astype(target.dtype)) / IMAGENET_STD.astype(target.dtype)
-    elif normalization == "vggface":
-        # vgg_face_dag uses raw 0-255-mean subtraction after imagenet-style resize
-        pred = pred - VGGFACE_MEAN.astype(pred.dtype)
-        target = target - VGGFACE_MEAN.astype(target.dtype)
+    elif normalization == "face_resnet":
+        # SENet/face_resnet mode: raw 0-255-space mean subtraction (reference
+        # face_norm, perceptual.py:163-166); inputs here are [0,1] so scale up first.
+        pred = pred * 255.0 - FACE_RESNET_MEAN.astype(pred.dtype)
+        target = target * 255.0 - FACE_RESNET_MEAN.astype(target.dtype)
     if resize_to is not None:
         def rs(im):
             return jax.image.resize(im, (im.shape[0], resize_to, resize_to, im.shape[3]),

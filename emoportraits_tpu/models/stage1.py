@@ -154,6 +154,8 @@ class VolumetricAvatar(nn.Module):
         deterministic: bool = True,
         stage_two: bool = False,
         match_neutral: bool = False,
+        source_expr_img: Optional[jax.Array] = None,
+        target_expr_img: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
         """Training/inference forward for a (source, target) pair
         (reference G_forward, va.py:287-765; prod flag settings).
@@ -168,10 +170,14 @@ class VolumetricAvatar(nn.Module):
         idt_embed = self.idt_embedder_nw(masked_source)
         out["idt_embed"] = idt_embed
 
+        # Expression embeds come from the elastic-warped aug frames in training
+        # (reference expression_embedder.py:163-169) and the raw frames otherwise.
         source_pose_embed = self.expression_vector(
-            source_img, source_theta, deterministic=deterministic)
+            source_expr_img if source_expr_img is not None else source_img,
+            source_theta, deterministic=deterministic)
         target_pose_embed = self.expression_vector(
-            target_img, target_theta, deterministic=deterministic)
+            target_expr_img if target_expr_img is not None else target_img,
+            target_theta, deterministic=deterministic)
         out["source_pose_embed"] = source_pose_embed
         out["target_pose_embed"] = target_pose_embed
 

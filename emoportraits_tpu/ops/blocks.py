@@ -228,6 +228,16 @@ def upsample_nearest(x: jax.Array, factor) -> jax.Array:
     return x
 
 
+def upsample_linear(x: jax.Array, factor) -> jax.Array:
+    """Bi/trilinear upsample (torch F.interpolate mode='bilinear'/'trilinear',
+    align_corners=False)."""
+    spatial = x.ndim - 2
+    factors = (factor,) * spatial if isinstance(factor, int) else tuple(factor)
+    shape = (x.shape[0],) + tuple(
+        s * f for s, f in zip(x.shape[1:-1], factors)) + (x.shape[-1],)
+    return jax.image.resize(x, shape, method="linear")
+
+
 def avg_pool(x: jax.Array, window) -> jax.Array:
     """Average pooling with stride == window (reference downsampling 'avgpool')."""
     spatial = x.ndim - 2
@@ -238,6 +248,30 @@ def avg_pool(x: jax.Array, window) -> jax.Array:
     for w in win:
         denom *= w
     return y / denom
+
+
+def max_pool_s(x: jax.Array, window) -> jax.Array:
+    """Max pooling with stride == window (reference downsampling 'maxpool')."""
+    spatial = x.ndim - 2
+    win = (window,) * spatial if isinstance(window, int) else tuple(window)
+    dims = (1,) + win + (1,)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, dims, "VALID")
+
+
+def _resize_up(x: jax.Array, stride: int, mode: str) -> jax.Array:
+    if mode == "nearest":
+        return upsample_nearest(x, stride)
+    if mode in ("bilinear", "trilinear", "linear"):
+        return upsample_linear(x, stride)
+    raise ValueError(f"unsupported upsampling resize {mode!r}")
+
+
+def _resize_down(x: jax.Array, stride: int, mode: str) -> jax.Array:
+    if mode == "avgpool":
+        return avg_pool(x, stride)
+    if mode == "maxpool":
+        return max_pool_s(x, stride)
+    raise ValueError(f"unsupported downsampling resize {mode!r}")
 
 
 class NormAct(nn.Module):
@@ -277,12 +311,14 @@ class ResBlock(nn.Module):
     def __call__(self, x, mods: Optional[Sequence[Mod]] = None):
         k = (3,) * self.ndim
         conv_kw = dict(use_bias=False, use_ws=self.use_ws, use_sn=self.use_sn)
-        upsample = self.resize in ("nearest", "bilinear") and self.stride > 1
+        upsample = self.resize in ("nearest", "bilinear", "trilinear") and self.stride > 1
         downsample = self.resize in ("avgpool", "maxpool") and self.stride > 1
+        if self.stride > 1 and not (upsample or downsample):
+            raise ValueError(f"unsupported resize {self.resize!r} for stride > 1")
 
         out = x
         if upsample:
-            out = upsample_nearest(out, self.stride)
+            out = _resize_up(out, self.stride, self.resize)
 
         m0 = mods[0] if mods is not None else None
         m1 = mods[1] if mods is not None else None
@@ -291,15 +327,15 @@ class ResBlock(nn.Module):
         out = NormAct(self.out_channels, self.norm, self.activation, name="norm_act_1")(out, m1)
         out = Conv(self.out_channels, k, name="conv_1", **conv_kw)(out)
         if downsample:
-            out = avg_pool(out, self.stride)
+            out = _resize_down(out, self.stride, self.resize)
 
         skip = x
         if upsample:
-            skip = upsample_nearest(skip, self.stride)
+            skip = _resize_up(skip, self.stride, self.resize)
         if self.in_channels != self.out_channels:
             skip = Conv(self.out_channels, (1,) * self.ndim, name="skip", **conv_kw)(skip)
         if downsample:
-            skip = avg_pool(skip, self.stride)
+            skip = _resize_down(skip, self.stride, self.resize)
         return out + skip
 
     @staticmethod
@@ -322,11 +358,13 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mods: Optional[Sequence[Mod]] = None):
         k = (3,) * self.ndim
-        upsample = self.resize in ("nearest", "bilinear") and self.stride > 1
+        upsample = self.resize in ("nearest", "bilinear", "trilinear") and self.stride > 1
         downsample = self.resize in ("avgpool", "maxpool") and self.stride > 1
+        if self.stride > 1 and not (upsample or downsample):
+            raise ValueError(f"unsupported resize {self.resize!r} for stride > 1")
         out = x
         if upsample:
-            out = upsample_nearest(out, self.stride)
+            out = _resize_up(out, self.stride, self.resize)
         out = Conv(self.out_channels, k, use_bias=False, use_ws=self.use_ws,
                    use_sn=self.use_sn, name="conv")(out)
         m0 = mods[0] if mods is not None else None
@@ -335,7 +373,7 @@ class ConvBlock(nn.Module):
         else:
             out = activation_fn(self.activation)(out)
         if downsample:
-            out = avg_pool(out, self.stride)
+            out = _resize_down(out, self.stride, self.resize)
         return out
 
     @staticmethod

@@ -38,8 +38,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Place a host-side batch onto the mesh's data axis.
+
+    Single-process: a plain sharded device_put. Multi-process: each host passes its
+    LOCAL shard (global_batch / process_count rows) and the global array is assembled
+    with make_array_from_process_local_data — device_put of per-host arrays against a
+    global sharding would silently treat each host's data as the whole batch.
+    """
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch)
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:

@@ -55,6 +55,12 @@ def make_gen_apply(
             variables, src, src_mask, tgt, src_theta, tgt_theta,
             mixing_theta=mixing_theta, deterministic=False,
             method=model.generate,
+            match_neutral=train_cfg.match_neutral,
+            # elastic-warped expression-net inputs (reference feeds
+            # source/target_warp_aug to the embedder in training,
+            # expression_embedder.py:163-169, so it can't cheat on texture cues)
+            source_expr_img=batch.get("source_warp_aug"),
+            target_expr_img=batch.get("target_warp_aug"),
             mutable=["sn_state"], rngs={"dropout": rng},
         )
 

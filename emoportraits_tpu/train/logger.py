@@ -44,15 +44,22 @@ class MetricsLogger:
                     self._wandb = None
 
     def log(self, metrics: Dict[str, jax.Array]) -> Optional[Dict[str, float]]:
-        """Buffer one step's metrics; flush averaged values every logging_freq steps."""
+        """Buffer one step's metrics; flush averaged values every logging_freq steps.
+
+        Buffers the DEVICE scalars and converts to host floats only at flush time —
+        a per-step float() would synchronize the host with the jit stream every
+        iteration and serialize dispatch against execution.
+        """
         self.iteration += 1
         if not self.is_leader:
             return None
         for k, v in metrics.items():
-            self.buffer[k].append(float(v))
+            self.buffer[k].append(v)
         if self.iteration % self.logging_freq:
             return None
-        means = {k: float(np.mean(v)) for k, v in self.buffer.items()}
+        host = jax.device_get(dict(self.buffer))
+        means = {k: float(np.mean([np.asarray(x) for x in v]))
+                 for k, v in host.items()}
         self.buffer.clear()
         record = {"iter": self.iteration, "epoch": self.epoch,
                   "time": time.time(), **means}

@@ -59,14 +59,15 @@ def gen_losses(
     pred = out["pred_target_img"]
     target = batch["target_img"]
 
-    # Masked/green-composited target (reference va.py:617-632).
+    # Masked/green-composited TARGET only (reference va.py:617-632 composites
+    # data_dict['target_img'] and compares the raw prediction against it — that is
+    # what trains the generator to paint the green background itself).
     if cfg.train.use_seg and "target_mask" in batch:
         mask = jax.lax.stop_gradient(batch["target_mask"])
         target = target * mask
         if cfg.train.green:
             green = (1.0 - mask) * jnp.asarray([0.0, 1.0, 0.0], target.dtype)
             target = target + green
-            pred = pred * mask + green
 
     # --- adversarial + feature matching ---
     real_scores, real_feats = dis_apply(dis_params, target)
@@ -84,9 +85,13 @@ def gen_losses(
         losses["vgg19"] = w.vgg19 * perceptual_loss(
             towers.vgg19_apply, towers.vgg19_params, pred, target, num_scales=n_scales)
     if towers.vggface_apply is not None and w.vgg19_face > 0:
+        # the reference's vgg19_face tower uses IMAGENET normalization + resize 224
+        # (PerceptualLoss(network='vgg_face_dag', resize=True) with
+        # apply_normalization defaulting True, init_losses :739-742); the raw
+        # 0-255-mean 'vggface' mode is only for the face_resnet/SENet tower.
         losses["vgg19_face"] = w.vgg19_face * perceptual_loss(
             towers.vggface_apply, towers.vggface_params, pred, target,
-            num_scales=2, normalization="vggface", resize_to=224)
+            num_scales=2, normalization="imagenet", resize_to=224)
 
     if w.l1_weight > 0:
         losses["l1"] = w.l1_weight * jnp.mean(jnp.abs(pred - target))
@@ -170,6 +175,8 @@ def make_train_step(
         gen_params = optax.apply_updates(state.gen_params, gen_updates)
 
         # ---------------- discriminator pass ----------------
+        # D sees the generator's RAW output vs the composited target (reference
+        # va.py:1003-1015): compositing the fake would hide G's background from D.
         pred_detached = jax.lax.stop_gradient(out["pred_target_img"])
         target = batch["target_img"]
         if cfg.train.use_seg and "target_mask" in batch:
@@ -178,7 +185,6 @@ def make_train_step(
             if cfg.train.green:
                 green = (1.0 - mask) * jnp.asarray([0.0, 1.0, 0.0], target.dtype)
                 target = target + green
-                pred_detached = pred_detached * mask + green
 
         def dis_loss_fn(dis_params):
             real_scores, _ = dis_apply((dis_params, state.dis_sn_state), target)

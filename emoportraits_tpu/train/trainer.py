@@ -41,10 +41,14 @@ class Trainer:
     def __init__(self, cfg: ExperimentConfig, train_stream: Iterator,
                  test_stream: Optional[Iterator] = None,
                  log_dir: str = "logs", checkpoint_dir: Optional[str] = None,
-                 tower_variables: Optional[Dict] = None):
+                 tower_variables: Optional[Dict] = None,
+                 custom_test_images: Optional["np.ndarray"] = None):
         self.cfg = cfg
         self.train_stream = train_stream
         self.test_stream = test_stream
+        # fixed smoke portraits spliced into the first eval batch each epoch
+        # (reference --custom_test, train.py:313-337)
+        self.custom_test_images = custom_test_images
 
         key = jax.random.PRNGKey(cfg.train.seed)
         self.model = VolumetricAvatar(cfg.model)
@@ -74,11 +78,15 @@ class Trainer:
         gen_apply = make_gen_apply(cfg, self.model, towers.head_pose_apply, hp_vars)
         dis_apply = lambda variables, img: self.dis.apply(variables, img)
 
+        # global batch = per-device batch x all devices; each host's stream yields
+        # global_b / process_count samples (shard_batch assembles the global array)
         global_b = b * jax.local_device_count() * jax.process_count()
         self.state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=global_b)
         step = make_train_step(cfg, gen_apply, dis_apply, towers)
 
-        self.mesh = make_data_mesh()
+        self.mesh = make_data_mesh(
+            cfg.parallel.num_devices if cfg.parallel.num_devices > 1 else None,
+            axis=cfg.parallel.data_axis)
         self.sharded_step = make_sharded_train_step(step, self.mesh)
         self.state = replicate_state(self.state, self.mesh)
 
@@ -96,15 +104,29 @@ class Trainer:
 
     # ------------------------------------------------------------------- loops
 
+    # every array the step consumes travels to device; the warp-aug expression
+    # inputs and the part-loss masks matter (eyes/mouth/ears L1 weight 500 each)
+    _BATCH_KEYS = ("source_img", "target_img", "source_mask", "target_mask",
+                   "source_warp_aug", "target_warp_aug",
+                   "eyes_mask", "mouth_mask", "ears_mask",
+                   "source_keypoints", "target_keypoints")
+
     def train_epoch(self, num_iters: Optional[int] = None) -> Dict[str, float]:
         num_iters = num_iters or self.cfg.train.train_epoch_len
         rng = jax.random.PRNGKey(int(self.logger.iteration))
         last = {}
+        bf16 = self.cfg.train.bf16_activations
         for i in range(num_iters):
+            host_batch = {k: v for k, v in next(self.train_stream).items()
+                          if k in self._BATCH_KEYS}
+            if bf16:
+                # bf16 activations / fp32 params: cast image-like inputs on the way in
+                host_batch = {
+                    k: (np.asarray(v, np.float32).astype(jnp.bfloat16)
+                        if np.asarray(v).dtype.kind == "f" else v)
+                    for k, v in host_batch.items()}
             batch = shard_batch(
-                {k: jnp.asarray(v) for k, v in next(self.train_stream).items()
-                 if k in ("source_img", "target_img", "source_mask", "target_mask")},
-                self.mesh)
+                {k: jnp.asarray(v) for k, v in host_batch.items()}, self.mesh)
             rng, step_rng = jax.random.split(rng)
             self.state, metrics = self.sharded_step(self.state, batch, step_rng)
             flushed = self.logger.log(metrics)
@@ -112,11 +134,15 @@ class Trainer:
                 last = flushed
         return last
 
-    def evaluate(self, num_batches: int = 8) -> Dict[str, float]:
+    def evaluate(self, num_batches: Optional[int] = None) -> Dict[str, float]:
         """Held-out eval computing SSIM/PSNR on self-reenactment pairs
         (reference test loop train.py:305-353, metrics va_losses_and_visuals.py:638-723)."""
         if self.test_stream is None:
             return {}
+        if num_batches is None:
+            num_batches = max(1, min(
+                8, self.cfg.train.test_epoch_len // max(
+                    self.cfg.train.test_batch_size, 1) // 64))
         if self._eval_drive is None:
             m = self.model
             enc = jax.jit(lambda v, s_, mk, t: m.apply(v, s_, mk, t,
@@ -128,9 +154,17 @@ class Trainer:
         enc, drv, hp = self._eval_drive
         variables = {"params": self.state.gen_params,
                      "sn_state": self.state.gen_sn_state}
-        ssims, psnrs = [], []
-        for _ in range(num_batches):
+        from ..losses.metrics import ms_ssim as ms_ssim_metric
+
+        out = {"test/ssim": [], "test/psnr": [], "test/ms_ssim": []}
+        for bi in range(num_batches):
             batch = next(self.test_stream)
+            if bi == 0 and self.custom_test_images is not None:
+                # splice the fixed smoke portraits into the first eval batch
+                n = min(len(self.custom_test_images), len(batch["source_img"]))
+                for k in ("source_img", "target_img"):
+                    batch[k] = np.concatenate(
+                        [self.custom_test_images[:n], batch[k][n:]])
             src = jnp.asarray(batch["source_img"])
             tgt = jnp.asarray(batch["target_img"])
             mask = jnp.asarray(batch.get("source_mask", np.ones_like(src[..., :1])))
@@ -138,9 +172,11 @@ class Trainer:
             t_theta = hp(self._hp_vars, tgt)
             st = enc(variables, src, mask, s_theta)
             pred = drv(variables, st, tgt, t_theta)
-            ssims.append(float(ssim_metric(pred, tgt)))
-            psnrs.append(float(psnr_metric(pred, tgt)))
-        return {"test/ssim": float(np.mean(ssims)), "test/psnr": float(np.mean(psnrs))}
+            out["test/ssim"].append(float(ssim_metric(pred, tgt)))
+            out["test/psnr"].append(float(psnr_metric(pred, tgt)))
+            if tgt.shape[1] >= 176:  # MS-SSIM needs 5 halvings over an 11px window
+                out["test/ms_ssim"].append(float(ms_ssim_metric(pred, tgt)))
+        return {k: float(np.mean(v)) for k, v in out.items() if v}
 
     def install_preemption_handler(self) -> None:
         """Save a checkpoint on SIGTERM/SIGINT before exiting — preemption tolerance
@@ -180,6 +216,31 @@ class Trainer:
             vecs.append(np.asarray(expr(variables, img, theta)))
         return np.concatenate(vecs)
 
+    def save_visuals(self, name: str = "eval") -> None:
+        """Source/target/prediction panel grid for one held-out batch (reference
+        get_visuals grids, va_losses_and_visuals.py:914-1054)."""
+        import numpy as np
+
+        if self.test_stream is None or not self.logger.is_leader:
+            return
+        if self._eval_drive is None:
+            self.evaluate(num_batches=0)
+        enc, drv, hp = self._eval_drive
+        variables = {"params": self.state.gen_params,
+                     "sn_state": self.state.gen_sn_state}
+        batch = next(self.test_stream)
+        src = jnp.asarray(batch["source_img"], jnp.float32)
+        tgt = jnp.asarray(batch["target_img"], jnp.float32)
+        mask = jnp.asarray(batch.get("source_mask", np.ones_like(src[..., :1])))
+        st = enc(variables, src, mask, hp(self._hp_vars, src))
+        pred = drv(variables, st, tgt, hp(self._hp_vars, tgt))
+        from ..utils.visuals import make_visuals_grid
+
+        grid = make_visuals_grid({
+            "source": np.asarray(src), "target": np.asarray(tgt),
+            "pred": np.asarray(pred)})
+        self.logger.log_image_grid(name, grid[None])
+
     def fit(self, epochs: Optional[int] = None, iters_per_epoch: Optional[int] = None):
         epochs = epochs or self.cfg.train.max_epochs
         for epoch in range(self.logger.epoch, epochs):
@@ -187,6 +248,8 @@ class Trainer:
             t0 = time.time()
             train_metrics = self.train_epoch(iters_per_epoch)
             eval_metrics = self.evaluate()
+            if self.cfg.train.visuals_freq > 0:
+                self.save_visuals(f"epoch_{epoch:04d}")
             if self.logger.is_leader:
                 print(f"epoch {epoch}: {time.time() - t0:.1f}s "
                       f"train={train_metrics} eval={eval_metrics}")

@@ -25,6 +25,8 @@ def main():
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--synthetic-demo", action="store_true")
     p.add_argument("--fuse-warps", action="store_true", default=True)
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bf16 params+activations (fastest serving mode; see DESIGN.md)")
     args = p.parse_args()
 
     import dataclasses
@@ -55,6 +57,10 @@ def main():
             m1 = jnp.ones((1, s, s, 1))
             th = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
             variables = jax.jit(model.init)(jax.random.PRNGKey(0), z, m1, z, th, th)
+        if args.bf16:
+            variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                variables)
         wrapper = InferenceWrapper(cfg, variables, theta_momentum=args.theta_momentum)
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -69,3 +69,16 @@ def test_augment_shapes_and_ranges():
     assert not np.allclose(ew, img)  # actually warped
     (f1, f2) = random_flip_pair((img, img.copy()), np.random.default_rng(4), p=1.0)
     assert np.allclose(f1, img[:, ::-1])
+
+
+def test_prefetcher_passthrough():
+    from emoportraits_tpu.data.pairs import Prefetcher
+
+    def gen():
+        for i in range(5):
+            yield {"x": np.full((1,), i)}
+
+    pf = Prefetcher(gen(), depth=2)
+    vals = [next(pf)["x"][0] for _ in range(5)]
+    assert vals == [0, 1, 2, 3, 4]
+    pf.close()

@@ -23,6 +23,13 @@ def main():
                    help="FEED-style extreme-emotion stream (spliced every "
                         "sec_dataset_every iters)")
     p.add_argument("--third-data-root", type=str, default=None, help="MEAD stream")
+    p.add_argument("--mead-every", type=int, default=6,
+                   help="splice the MEAD stream every N iters (reference "
+                        "mead_as_second_every, train.py:132-139)")
+    p.add_argument("--stills-root", type=str, default=None,
+                   help="directory of FFHQ-style identity stills used as an extra "
+                        "self-reconstruction stream (reference datasets/ffhq_crops.py)")
+    p.add_argument("--stills-every", type=int, default=8)
     p.add_argument("--checkpoint-dir", type=str, default=None)
     p.add_argument("--log-dir", type=str, default="logs")
     p.add_argument("--epochs", type=int, default=None)
@@ -64,9 +71,16 @@ def main():
     main_stream = make_stream(args.data_root)
     second = make_stream(args.second_data_root) if args.second_data_root else None
     third = make_stream(args.third_data_root) if args.third_data_root else None
+    if third is None and args.stills_root:
+        from emoportraits_tpu.data.stills import StillsDataset
+
+        third = StillsDataset(args.stills_root, cfg.train.image_size).batches(
+            cfg.train.batch_size * jax.local_device_count())
+        args.mead_every = args.stills_every
     train_stream = InterleavedStream(
         main_stream, second, third,
-        sec_dataset_every=cfg.train.sec_dataset_every if second else 0)
+        sec_dataset_every=cfg.train.sec_dataset_every if second else 0,
+        mead_every=args.mead_every if third else 0)
     test_stream = make_stream(args.data_root, split="test")
 
     trainer = Trainer(cfg, train_stream, test_stream,
