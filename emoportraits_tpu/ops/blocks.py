@@ -132,11 +132,13 @@ class Conv(nn.Module):
             padding = tuple((k // 2, k // 2) for k in self.kernel_size)
 
         dtype = self.dtype or x.dtype
+        # No preferred_element_type: the TPU MXU accumulates bf16 convs in fp32
+        # natively, and requesting an f32 output dtype makes the transposed conv in
+        # the VJP mix dtypes (f32 cotangent vs bf16 kernel) and fail to trace.
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype), strides, padding,
             dimension_numbers=dn, feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
+        )
         if self.use_bias:
             bias = self.param(
                 "bias",
