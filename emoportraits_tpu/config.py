@@ -71,6 +71,7 @@ class IdtEmbedConfig:
     output_channels: int = 512      # idt_output_channels == gen_max_channels
     num_source_frames: int = 1
     norm: str = "gn"
+    backbone_width: int = 64        # torchvision width; <64 = test miniature
 
 
 @dataclass(frozen=True)
@@ -83,6 +84,7 @@ class ExpressionEmbedConfig:
     output_channels: int = 128      # lpe_output_channels_expression (prod 128)
     dropout: float = 0.2            # exp_dropout
     norm: str = "gn"
+    backbone_width: int = 64        # torchvision width; <64 = test miniature
 
 
 @dataclass(frozen=True)
@@ -253,6 +255,8 @@ class TrainConfig:
     seed: int = 0
     bf16_activations: bool = False  # cast batch inputs to bf16 (fp32 params)
     remat: bool = True
+    # EMA of generator params for serving (0 = off; utils/ema.py, updated in-step)
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -302,12 +306,21 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class Stage2Config:
-    """512px residual enhancer (reference: models/stage_2/base/volumetric_avatar_two.py:23-700)."""
-    image_size: int = 512
-    num_channels: int = 64
-    max_channels: int = 512
-    num_blocks: int = 8
-    latent_size: int = 64   # encoder bottleneck resolution
+    """512px residual enhancer (reference: models/stage_2/base/volumetric_avatar_two.py:
+    341-470 net construction, defaults at :59,178-195). Architecture parity with
+    local_encoder_old.py + decoder_s2_old.py so the released checkpoint ports."""
+    image_size: int = 512            # output_size_s2
+    latent_size: int = 64            # gen_latent_texture_size2
+    latent_channels: int = 64        # gen_latent_texture_channels2
+    latent_depth: int = 16           # gen_latent_texture_depth
+    num_channels: int = 32           # gen_num_channels
+    enc_channel_mult: float = 4.0    # enc_channel_mult_stage2
+    dec_channel_mult: float = 4.0    # dec_channel_mult_stage2
+    max_channels: int = 512          # gen_max_channels / dec_max_channels2
+    dec_num_blocks: int = 8          # dec_num_blocks_stage2
+    # dec_img_feat_blocks channel ladder (decoder_s2_old.py:404-441: 128 strided,
+    # then 128 -> 64 -> 32); shrink for tests
+    dec_feat_channels: tuple = (128, 128, 64, 32)
     norm: str = "gn"
     activation: str = "relu"
 
@@ -362,9 +375,10 @@ def tiny_config() -> ExperimentConfig:
             volume=vol,
             local_encoder=LocalEncoderConfig(
                 input_image_size=64, num_channels=4, channel_mult=2.0, max_channels=32),
-            idt_embedder=IdtEmbedConfig(image_size=64, output_channels=32),
+            idt_embedder=IdtEmbedConfig(image_size=64, output_channels=32,
+                                        backbone_width=8),
             expression_embedder=ExpressionEmbedConfig(
-                image_size=64, align_size=64, output_channels=16),
+                image_size=64, align_size=64, output_channels=16, backbone_width=8),
             warp_generator=WarpGeneratorConfig(
                 input_channels=32, dummy_input_size=4, output_size=16, output_depth=4,
                 num_channels=4, channel_mult=2.0, max_channels=32, embed_size=4),

@@ -64,48 +64,66 @@ def max_pool(x, window: int, stride: int, padding: int):
 
 
 class BasicBlock(nn.Module):
-    """torchvision BasicBlock: conv3-bn-relu-conv3-bn + skip."""
+    """torchvision BasicBlock: conv3-bn-relu-conv3-bn + skip.
+
+    When the trunk is a TRAINABLE generator subnet in the reference (IdtEmbed /
+    ExpressionEmbed, both in spn_networks + ws_networks), the sibling rule
+    (utils.py:1061-1096) WS-converts conv2 (previous sibling is the GN norm; bias=True,
+    SN hook dropped) and leaves SN on conv1/downsample. use_ws/use_sn replicate that;
+    frozen-tower usage (bn norm, flags off) is unchanged and torchvision-portable.
+    """
     features: int
     stride: int = 1
     norm: str = "bn"
     downsample: bool = False
+    use_ws: bool = False
+    use_sn: bool = False
 
     @nn.compact
     def __call__(self, x):
-        out = Conv(self.features, (3, 3), strides=self.stride, use_bias=False, name="conv1")(x)
+        ws = self.use_ws and self.norm == "gn"
+        out = Conv(self.features, (3, 3), strides=self.stride, use_bias=False,
+                   use_sn=self.use_sn, name="conv1")(x)
         out = Norm(self.features, self.norm, name="bn1")(out)
         out = jax.nn.relu(out)
-        out = Conv(self.features, (3, 3), use_bias=False, name="conv2")(out)
+        out = Conv(self.features, (3, 3), use_bias=ws, use_ws=ws,
+                   use_sn=self.use_sn and not ws, name="conv2")(out)
         out = Norm(self.features, self.norm, name="bn2")(out)
         skip = x
         if self.downsample:
             skip = Conv(self.features, (1, 1), strides=self.stride, use_bias=False,
-                        name="downsample_conv")(x)
+                        use_sn=self.use_sn, name="downsample_conv")(x)
             skip = Norm(self.features, self.norm, name="downsample_bn")(skip)
         return jax.nn.relu(out + skip)
 
 
 class Bottleneck(nn.Module):
-    """torchvision Bottleneck (expansion 4)."""
+    """torchvision Bottleneck (expansion 4). WS/SN placement: see BasicBlock."""
     features: int
     stride: int = 1
     norm: str = "bn"
     downsample: bool = False
+    use_ws: bool = False
+    use_sn: bool = False
 
     @nn.compact
     def __call__(self, x):
-        out = Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        ws = self.use_ws and self.norm == "gn"
+        out = Conv(self.features, (1, 1), use_bias=False, use_sn=self.use_sn,
+                   name="conv1")(x)
         out = Norm(self.features, self.norm, name="bn1")(out)
         out = jax.nn.relu(out)
-        out = Conv(self.features, (3, 3), strides=self.stride, use_bias=False, name="conv2")(out)
+        out = Conv(self.features, (3, 3), strides=self.stride, use_bias=ws, use_ws=ws,
+                   use_sn=self.use_sn and not ws, name="conv2")(out)
         out = Norm(self.features, self.norm, name="bn2")(out)
         out = jax.nn.relu(out)
-        out = Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = Conv(self.features * 4, (1, 1), use_bias=ws, use_ws=ws,
+                   use_sn=self.use_sn and not ws, name="conv3")(out)
         out = Norm(self.features * 4, self.norm, name="bn3")(out)
         skip = x
         if self.downsample:
             skip = Conv(self.features * 4, (1, 1), strides=self.stride, use_bias=False,
-                        name="downsample_conv")(x)
+                        use_sn=self.use_sn, name="downsample_conv")(x)
             skip = Norm(self.features * 4, self.norm, name="downsample_bn")(skip)
         return jax.nn.relu(out + skip)
 
@@ -118,24 +136,33 @@ class ResNet(nn.Module):
     norm: str = "bn"
     num_classes: Optional[int] = None
     in_channels: int = 3
+    # torchvision width is 64; smaller values give shape-compatible miniatures for
+    # tests/dryruns (parameter NAMES unchanged, so only 64 is port-compatible)
+    base_width: int = 64
+    # trainable-generator-subnet mode (reference SN+WS application; see BasicBlock)
+    use_ws: bool = False
+    use_sn: bool = False
 
     @nn.compact
     def __call__(self, x, return_features: bool = False):
         block_cls = BasicBlock if self.block == "basic" else Bottleneck
         expansion = 1 if self.block == "basic" else 4
-        x = Conv(64, (7, 7), strides=2, use_bias=False, name="conv1")(x)
-        x = Norm(64, self.norm, name="bn1")(x)
+        w0 = self.base_width
+        x = Conv(w0, (7, 7), strides=2, use_bias=False, use_sn=self.use_sn,
+                 name="conv1")(x)
+        x = Norm(w0, self.norm, name="bn1")(x)
         x = jax.nn.relu(x)
         x = max_pool(x, 3, 2, 1)
         feats = []
-        features = 64
+        features = w0
         for li, n_blocks in enumerate(self.layers):
             stride = 1 if li == 0 else 2
             for bi in range(n_blocks):
                 needs_down = bi == 0 and (stride != 1 or li == 0 and expansion != 1)
                 x = block_cls(
                     features, stride if bi == 0 else 1, self.norm,
-                    downsample=needs_down, name=f"layer{li + 1}_{bi}")(x)
+                    downsample=needs_down, use_ws=self.use_ws, use_sn=self.use_sn,
+                    name=f"layer{li + 1}_{bi}")(x)
             feats.append(x)
             features *= 2
         if self.num_classes is not None:

@@ -83,6 +83,10 @@ def estimate_theta_from_keypoints(keypoints: jax.Array,
 class ExpressionEmbed(nn.Module):
     cfg: ExpressionEmbedConfig
     pool_size: int = 4  # lpe_output_size
+    # reference lists expression_embedder_nw in spn_networks + ws_networks
+    # (va_arguments.py:158-163); the trunk follows the sibling WS/SN rule
+    use_ws: bool = False
+    use_sn: bool = False
 
     @nn.compact
     def __call__(self, aligned_face: jax.Array, *,
@@ -90,12 +94,16 @@ class ExpressionEmbed(nn.Module):
         """aligned_face: (B, gs, gs, 3) aligned crop. Returns (B, expression_dim)."""
         c = self.cfg
         x = (aligned_face - IMAGENET_MEAN.astype(aligned_face.dtype)) / IMAGENET_STD.astype(aligned_face.dtype)
-        feat = ResNet(layers=(2, 2, 2, 2), block="basic", norm=c.norm, name="net")(x)
-        feat = Conv(c.output_channels, (1, 1), use_bias=False, name="fc")(feat)
+        feat = ResNet(layers=(2, 2, 2, 2), block="basic", norm=c.norm,
+                      base_width=c.backbone_width, use_ws=self.use_ws,
+                      use_sn=self.use_sn, name="net")(x)
+        feat = Conv(c.output_channels, (1, 1), use_bias=False, use_sn=self.use_sn,
+                    name="fc")(feat)
         if c.dropout > 0:
             feat = nn.Dropout(rate=c.dropout, deterministic=deterministic,
                               name="drop")(feat)
         pooled = adaptive_avg_pool(feat, self.pool_size)
         # torch flatten of (B, C, h, w) is C-major; transpose for port parity.
         flat = jnp.transpose(pooled, (0, 3, 1, 2)).reshape(pooled.shape[0], -1)
-        return Dense(c.output_channels, use_bias=False, name="pose_head")(flat)
+        return Dense(c.output_channels, use_bias=False, use_sn=self.use_sn,
+                     name="pose_head")(flat)

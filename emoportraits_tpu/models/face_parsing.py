@@ -119,6 +119,40 @@ class BiSeNet(nn.Module):
         return _resize_to(out, h, w)
 
 
+def normalize_for_parsing(img: jax.Array) -> jax.Array:
+    """ImageNet-normalize a [0,1] image for BiSeNet (reference face_parcing.py:57-59)."""
+    return (img - IMAGENET_MEAN.astype(img.dtype)) / IMAGENET_STD.astype(img.dtype)
+
+
+def soft_part_masks(logits: jax.Array) -> Dict[str, jax.Array]:
+    """Soft eyes/mouth/ears masks from parsing logits.
+
+    The reference's face-part L1s use SOFT class probabilities from its parser
+    (`logits_gt_soft`, va_losses_and_visuals.py:183-243) summed over each part's label
+    set; here the probabilities come from BiSeNet softmax. logits: (B, H, W, 19) ->
+    dict of (B, H, W, 1) soft masks in [0, 1].
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    def mask_of(label_set: Sequence[int]) -> jax.Array:
+        return jnp.sum(probs[..., jnp.asarray(label_set)], axis=-1, keepdims=True)
+
+    return {"eyes": mask_of(EYES_LABELS), "mouth": mask_of(MOUTH_LABELS),
+            "ears": mask_of(EARS_LABELS)}
+
+
+def binary_face_mask(logits: jax.Array,
+                     labels_set: Sequence[int] = MASK_LABELS) -> jax.Array:
+    """Hard face/hair/neck mask from parsing logits (argmax-label membership), the
+    use_mix_mask refinement operand (reference va.py:352-361, use_ibug_mask=False
+    branch: `(face_mask > 0.6).float()` on the binary label mask)."""
+    labels = jnp.argmax(logits, axis=-1, keepdims=True)
+    m = jnp.zeros_like(labels, jnp.float32)
+    for i in labels_set:
+        m = m + (labels == i)
+    return jnp.clip(m, 0.0, 1.0)
+
+
 class FaceParser:
     """User-facing wrapper with the reference's normalization + label reductions."""
 

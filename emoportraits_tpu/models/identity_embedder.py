@@ -43,6 +43,10 @@ def adaptive_avg_pool(x: jax.Array, out_size: int) -> jax.Array:
 
 class IdtEmbed(nn.Module):
     cfg: IdtEmbedConfig
+    # reference lists idt_embedder_nw in spn_networks + ws_networks
+    # (va_arguments.py:158-163); the trunk follows the sibling WS/SN rule
+    use_ws: bool = False
+    use_sn: bool = False
 
     @nn.compact
     def __call__(self, source_img: jax.Array) -> jax.Array:
@@ -54,8 +58,11 @@ class IdtEmbed(nn.Module):
         x = (x - IMAGENET_MEAN.astype(x.dtype)) / IMAGENET_STD.astype(x.dtype)
         layers = (3, 4, 6, 3) if c.backbone == "resnet50" else (2, 2, 2, 2)
         block = "bottleneck" if c.backbone == "resnet50" else "basic"
-        feat = ResNet(layers=layers, block=block, norm=c.norm, name="net")(x)
-        feat = Conv(c.output_channels, (1, 1), use_bias=False, name="fc")(feat)
+        feat = ResNet(layers=layers, block=block, norm=c.norm,
+                      base_width=c.backbone_width, use_ws=self.use_ws,
+                      use_sn=self.use_sn, name="net")(x)
+        feat = Conv(c.output_channels, (1, 1), use_bias=False, use_sn=self.use_sn,
+                    name="fc")(feat)
         feat = adaptive_avg_pool(feat, c.output_size)
         n = c.num_source_frames
         b = feat.shape[0] // n

@@ -50,6 +50,17 @@ class CheckpointManager:
         self.mngr.wait_until_finished()
 
 
+def restore_params(checkpoint_dir: str, params_like: Any,
+                   step: Optional[int] = None) -> Any:
+    """Restore ONLY the generator params from a full TrainState checkpoint — the
+    frozen-stage-1 load used by stage-2 training (reference loads stage-1 weights
+    strict=False into the stage-2 Model, volumetric_avatar_two.py init)."""
+    mngr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+    step = mngr.latest_step() if step is None else step
+    restored = mngr.restore(step)  # raw pytree of the saved TrainState
+    return jax.tree.map(lambda _, x: x, params_like, restored["gen_params"])
+
+
 def load_config(checkpoint_dir: str) -> ExperimentConfig:
     """Reconstruct the experiment config saved next to the checkpoints (parity with
     re-parsing args.txt at inference, utils/args.py:54, notebooks/infer.py:74-76)."""

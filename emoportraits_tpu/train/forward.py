@@ -1,25 +1,52 @@
 """Training-time generator forward: wires the VolumetricAvatar module, the frozen
-head-pose regressor, and the mixing/cycle/self-supervision branches into a single
-`gen_apply(variables, batch, rng) -> (out, new_sn_state)` used by the train step.
+head-pose regressor / face parser / matting net, and the mixing/cycle/self-supervision
+branches into a single `gen_apply(variables, batch, rng) -> (out, new_sn_state)` used by
+the train step.
 
 Reference flow (va.py:287-765 G_forward + :899-1020 Model.forward 'gen' pass):
+  * use_mix_mask: dataset masks are refined by the frozen BiSeNet face parser before
+    masking the source/target (va.py:297-361, prod use_ibug_mask=False branch);
   * thetas for source/target from the frozen HeadPoseRegressor (:375-378, no-grad);
   * mixing theta by polar decomposition of source/target poses (non_specific.py:128);
+  * the generated mixing image is matted by the frozen MODNet-role net
+    (va.py:682-684) -> pred_mixing_mask / pred_mixing_masked_img;
   * cycle expressions: the frozen regressor re-runs on the GENERATED images, whose
-    aligned crops are re-embedded (va.py:700-765) -> pred_cycle_exp / mixing_cycle_exp;
+    aligned crops are re-embedded (va.py:700-765) -> pred_cycle_exp / mixing_cycle_exp.
+    The mixing image is ROLLED BY -1 first (va.py:716-721): mixing sample i was driven
+    by target i-1's expression, so the -1 roll restores element-wise pairing with
+    target_pose_embed for the pull/push losses;
+  * aligned face crops for the vgg19_face / resnet18_fv_mix losses
+    (va_losses_and_visuals.py:296-304 align_warp resampling; :324-355 mixing_img_align);
   * canonical volume re-derived from the target frame (no-grad) for volumes_l1
     (:554-566) using theta_st = (source scale, target rotation, target translation).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ExperimentConfig
-from ..geometry.transforms import get_mixing_theta, get_transform_matrix, inverse_theta_4x4
+from ..geometry.transforms import (
+    align_keypoints,
+    get_mixing_theta,
+    get_transform_matrix,
+    inverse_theta_4x4,
+)
+from ..models.expression_embedder import align_face_crop
+from ..models.face_parsing import binary_face_mask
 from ..models.stage1 import VolumetricAvatar
+
+# canonical nose template replacing landmarks 27:31 before the nose alignment
+# (reference va.py:391-394)
+_NOSE_TEMPLATE = jnp.array([[0.0, -0.2, 0.22],
+                            [0.0, -0.13, 0.26],
+                            [0.0, -0.06, 0.307],
+                            [0.0, -0.008, 0.310]], jnp.float32)
+
+# (apply_fn, params) pairs for the frozen auxiliary nets; apply takes a [0,1] image.
+FrozenNet = Tuple[Callable, Any]
 
 
 def make_gen_apply(
@@ -27,6 +54,8 @@ def make_gen_apply(
     model: VolumetricAvatar,
     head_pose_apply: Callable,   # (params, img, return_srt) -> theta / (theta, s, r, t)
     head_pose_params: Any,
+    face_parsing: Optional[FrozenNet] = None,  # img01 -> (B, H, W, 19) logits
+    matting: Optional[FrozenNet] = None,       # img01 -> (B, H, W, 1) alpha
 ):
     train_cfg = cfg.train
 
@@ -34,6 +63,17 @@ def make_gen_apply(
         src, tgt = batch["source_img"], batch["target_img"]
         src_mask = batch.get("source_mask", jnp.ones_like(src[..., :1]))
         tgt_mask = batch.get("target_mask", jnp.ones_like(tgt[..., :1]))
+
+        # use_mix_mask refinement: dataset matte AND parser face mask (va.py:352-361;
+        # threshold 0.6 on the binary label mask). Frozen -> stop_gradient.
+        if train_cfg.use_mix_mask and face_parsing is not None:
+            fp_apply, fp_params = face_parsing
+            src_face = binary_face_mask(
+                jax.lax.stop_gradient(fp_apply(fp_params, src)))
+            tgt_face = binary_face_mask(
+                jax.lax.stop_gradient(fp_apply(fp_params, tgt)))
+            src_mask = src_mask * src_face.astype(src_mask.dtype)
+            tgt_mask = tgt_mask * tgt_face.astype(tgt_mask.dtype)
 
         # Frozen head pose (reference va.py:375-378, under no_grad).
         hp = lambda img: head_pose_apply(head_pose_params, jax.lax.stop_gradient(img),
@@ -63,11 +103,19 @@ def make_gen_apply(
             target_expr_img=batch.get("target_warp_aug"),
             mutable=["sn_state"], rngs={"dropout": rng},
         )
+        out["refined_source_mask"] = src_mask
+        out["refined_target_mask"] = tgt_mask
 
         frozen = {"params": variables["params"],
                   "sn_state": muts.get("sn_state", variables.get("sn_state", {}))}
 
-        # ---- cycle expression re-embeds (reference va.py:700-765) ----
+        # ---- aligned face crops for vgg19_face (va_losses_and_visuals.py:296-322) ----
+        gs = cfg.model.expression_embedder.image_size // 2
+        out["target_img_align_orig"] = align_face_crop(tgt, tgt_theta, gs)
+        out["pred_target_img_face_align"] = align_face_crop(
+            out["pred_target_img"], tgt_theta, gs)
+
+        # ---- mixing branch: matting + aligned crop + cycle re-embeds ----
         if train_cfg.pred_mixing:
             pred_img = out["pred_target_img"]
             pred_theta = jax.lax.stop_gradient(
@@ -75,17 +123,49 @@ def make_gen_apply(
                                 return_srt=False))
             out["pred_cycle_exp"] = model.apply(
                 frozen, pred_img, pred_theta, method=model.expression_vector)
+
             mix_img = out["pred_mixing_img"]
+            if matting is not None:
+                # frozen matting of the generated mixing image (va.py:682-684)
+                mt_apply, mt_params = matting
+                mix_alpha = jax.lax.stop_gradient(mt_apply(mt_params, mix_img))
+                out["pred_mixing_mask"] = mix_alpha
+                out["pred_mixing_masked_img"] = mix_img * mix_alpha
             mix_theta_pred = jax.lax.stop_gradient(
                 head_pose_apply(head_pose_params, jax.lax.stop_gradient(mix_img),
                                 return_srt=False))
-            out["mixing_cycle_exp"] = model.apply(
+            # fv_mix crop: UNROLLED mixing image under its own regressed theta
+            # (va.py:693-707 data_dict_exp pass -> mixing_img_align)
+            out["mixing_img_align"] = align_face_crop(mix_img, mix_theta_pred, gs)
+            # cycle embedding: roll -1 restores pairing (va.py:716-721); rolling the
+            # per-sample embedding equals rolling the image before embedding.
+            mix_emb = model.apply(
                 frozen, mix_img, mix_theta_pred, method=model.expression_vector)
+            out["mixing_cycle_exp"] = jnp.roll(mix_emb, -1, axis=0)
 
         # ---- canonical volume from target (no-grad; volumes_l1) ----
         if train_cfg.predict_target_canon_vol:
             theta_st = get_transform_matrix(src_scale, tgt_rot, tgt_tr)
             inv_theta_st = inverse_theta_4x4(theta_st)
+            if "source_keypoints" in batch and "target_keypoints" in batch \
+                    and batch["source_keypoints"].shape[-1] == 3:
+                # keypoint refinement of the canon-from-target rotation: align the
+                # de-posed target landmarks to the de-posed source landmarks and
+                # right-compose the similarity into inv_theta_st (va.py:437-448);
+                # the nose-template variant (:389-409) is exposed as an output.
+                skp = jax.lax.stop_gradient(batch["source_keypoints"])
+                tkp = jax.lax.stop_gradient(batch["target_keypoints"])
+                inv_src = inverse_theta_4x4(src_theta)
+                src_warped = jnp.einsum("bni,bij->bnj", skp, inv_src[:, :3, :3])
+                tgt_warped = jnp.einsum("bni,bij->bnj", tkp,
+                                        inv_theta_st[:, :3, :3])
+                _, transform = align_keypoints(src_warped, tgt_warped)
+                inv_theta_st = inv_theta_st @ transform
+                src_n = src_warped.at[:, 27:31].set(
+                    _NOSE_TEMPLATE.astype(src_warped.dtype))
+                aligned_n, _ = align_keypoints(src_n, src_warped, nose=True)
+                out["source_warped_keypoints"] = src_warped
+                out["source_warped_keypoints_n"] = aligned_n
             canon_t = model.apply(
                 frozen, tgt, tgt_mask, out["target_pose_embed"], out["idt_embed"],
                 inv_theta_st, method=model.canonical_from_target)

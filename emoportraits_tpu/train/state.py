@@ -45,6 +45,9 @@ class TrainState:
     # Expression negatives queue (reference `prev_targets`,
     # va_losses_and_visuals.py:480-487) as a fixed ring buffer (K, B, D).
     prev_targets: Optional[jax.Array] = None
+    # EMA of generator params for serving (reference utils/weight_avg.py role);
+    # None when cfg.train.ema_decay == 0.
+    ema_params: Any = None
 
     @classmethod
     def create(cls, cfg: ExperimentConfig, gen_variables, dis_variables,
@@ -55,6 +58,10 @@ class TrainState:
         dis_params = dis_variables["params"]
         k = max(cfg.train.num_b_negs, 1)
         prev = jnp.zeros((k, batch_size, cfg.model.expression_dim), jnp.float32)
+        ema = None
+        if getattr(cfg.train, "ema_decay", 0.0) > 0.0:
+            from ..utils.ema import ema_init
+            ema = ema_init(gen_params)
         return cls(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params,
@@ -64,6 +71,7 @@ class TrainState:
             dis_sn_state=dis_variables.get("sn_state", {}),
             dis_opt_state=dis_opt.init(dis_params),
             prev_targets=prev,
+            ema_params=ema,
         )
 
 

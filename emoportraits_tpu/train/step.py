@@ -9,7 +9,8 @@ automatically (no NCCL porting — SURVEY.md §2.3).
 
 Loss assembly parity with calc_train_losses (va_losses_and_visuals.py:22-633), prod
 weights from experiments/args.txt (LossWeights in config.py). Frozen towers (VGG19,
-VGGFace, head-pose) enter as explicit constants in `LossTowers`.
+VGGFace, gaze, face-vector, face parser, head-pose) enter as explicit constants in
+`LossTowers`.
 """
 from __future__ import annotations
 
@@ -20,7 +21,6 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ExperimentConfig
-from ..geometry.transforms import get_mixing_theta
 from ..losses import (
     adversarial_loss_dis,
     adversarial_loss_gen,
@@ -31,18 +31,45 @@ from ..losses import (
     push_loss,
     stm_loss,
 )
+from ..losses.expression import cosine_embedding_loss
+from ..losses.gaze import gaze_loss
+from ..models.face_parsing import soft_part_masks
 from .state import TrainState, make_optimizer
 
 
 class LossTowers(NamedTuple):
     """Frozen evaluator networks (reference loads them as eval-mode buffers,
-    losses/perceptual.py:228,250-256)."""
+    losses/perceptual.py:228,250-256). All apply fns take [0,1] images except where
+    noted; params are frozen constants (ported or random-for-tests)."""
     vgg19_apply: Optional[Callable] = None
     vgg19_params: Any = None
     vggface_apply: Optional[Callable] = None
     vggface_params: Any = None
     head_pose_apply: Optional[Callable] = None
     head_pose_params: Any = None
+    # RT-GENE-role gaze tower: (params, eye_crop) -> {relu_i_1: act} (losses/gaze.py)
+    gaze_apply: Optional[Callable] = None
+    gaze_params: Any = None
+    # face-recognition embedding: (params, img01) -> (B, D) (losses/face_vector.py)
+    face_vector_embed: Optional[Callable] = None
+    face_vector_params: Any = None
+    # BiSeNet parsing logits: (params, img01) -> (B, H, W, 19) (models/face_parsing.py)
+    face_parsing_apply: Optional[Callable] = None
+    face_parsing_params: Any = None
+
+
+def composite_target(cfg: ExperimentConfig, target: jax.Array,
+                     mask: Optional[jax.Array]) -> jax.Array:
+    """Masked/green-composited TARGET (reference va.py:617-632: the dataset target is
+    composited and the RAW prediction is compared against it — that is what trains the
+    generator to paint the green background itself)."""
+    if not cfg.train.use_seg or mask is None:
+        return target
+    mask = jax.lax.stop_gradient(mask).astype(target.dtype)
+    target = target * mask
+    if cfg.train.green:
+        target = target + (1.0 - mask) * jnp.asarray([0.0, 1.0, 0.0], target.dtype)
+    return target
 
 
 def gen_losses(
@@ -57,17 +84,8 @@ def gen_losses(
     w = cfg.weights
     losses: Dict[str, jax.Array] = {}
     pred = out["pred_target_img"]
-    target = batch["target_img"]
-
-    # Masked/green-composited TARGET only (reference va.py:617-632 composites
-    # data_dict['target_img'] and compares the raw prediction against it — that is
-    # what trains the generator to paint the green background itself).
-    if cfg.train.use_seg and "target_mask" in batch:
-        mask = jax.lax.stop_gradient(batch["target_mask"])
-        target = target * mask
-        if cfg.train.green:
-            green = (1.0 - mask) * jnp.asarray([0.0, 1.0, 0.0], target.dtype)
-            target = target + green
+    target = composite_target(cfg, batch["target_img"],
+                              out.get("refined_target_mask", batch.get("target_mask")))
 
     # --- adversarial + feature matching ---
     real_scores, real_feats = dis_apply(dis_params, target)
@@ -85,13 +103,34 @@ def gen_losses(
         losses["vgg19"] = w.vgg19 * perceptual_loss(
             towers.vgg19_apply, towers.vgg19_params, pred, target, num_scales=n_scales)
     if towers.vggface_apply is not None and w.vgg19_face > 0:
-        # the reference's vgg19_face tower uses IMAGENET normalization + resize 224
-        # (PerceptualLoss(network='vgg_face_dag', resize=True) with
-        # apply_normalization defaulting True, init_losses :739-742); the raw
-        # 0-255-mean 'vggface' mode is only for the face_resnet/SENet tower.
+        # vgg19_face runs on the theta-ALIGNED face crops, not the full frames
+        # (va_losses_and_visuals.py:296-322: align_warp resample of [pred, target]);
+        # the tower uses ImageNet normalization + resize 224 (init_losses :739-742).
+        fp = out.get("pred_target_img_face_align", pred)
+        ft = out.get("target_img_align_orig", target)
+        rs = min(224, fp.shape[1])
         losses["vgg19_face"] = w.vgg19_face * perceptual_loss(
-            towers.vggface_apply, towers.vggface_params, pred, target,
-            num_scales=2, normalization="imagenet", resize_to=224)
+            towers.vggface_apply, towers.vggface_params, fp,
+            jax.lax.stop_gradient(ft),
+            num_scales=2 if rs >= 64 else 1, normalization="imagenet", resize_to=rs)
+
+    # --- gaze loss (prod w=10; reference va_losses_and_visuals.py:148-161 on the full
+    #     pred/target frames with the target's 68 2D keypoints) ---
+    if towers.gaze_apply is not None and w.gaze > 0 and "target_keypoints" in batch:
+        kp = jax.lax.stop_gradient(batch["target_keypoints"][..., :2])
+        losses["gaze"] = w.gaze * gaze_loss(
+            towers.gaze_apply, towers.gaze_params, pred, target, kp)
+
+    # --- resnet18_fv_mix (prod w=35): cosine-match frozen face vectors of the aligned
+    #     MIXING crop vs the aligned target crop (va_losses_and_visuals.py:324-355) ---
+    if (towers.face_vector_embed is not None and w.resnet18_fv_mix > 0
+            and "mixing_img_align" in out):
+        m = towers.face_vector_embed(towers.face_vector_params,
+                                     out["mixing_img_align"])
+        t = jax.lax.stop_gradient(towers.face_vector_embed(
+            towers.face_vector_params, out["target_img_align_orig"]))
+        losses["resnet18_fv_mix"] = w.resnet18_fv_mix * cosine_embedding_loss(
+            m, t, target=1)
 
     if w.l1_weight > 0:
         losses["l1"] = w.l1_weight * jnp.mean(jnp.abs(pred - target))
@@ -126,14 +165,27 @@ def gen_losses(
                 losses["contrastive_exp_mix"] = w.contrastive_exp * contrastive_exp_loss(
                     m_cyc, t_emb, out["source_pose_embed"])
 
-    # --- face-part L1s (eyes/mouth/ears, weight 500 each; reference
-    #     va_losses_and_visuals.py:183-243 via parsing masks; masks arrive in the batch) ---
-    for part, weight in (("eyes", w.eyes_l1), ("mouth", w.mouth_l1), ("ears", w.ears_l1)):
-        key = f"{part}_mask"
-        if key in batch and weight > 0:
-            m = jax.lax.stop_gradient(batch[key])
-            losses[f"{part}_l1"] = weight * jnp.sum(jnp.abs(pred - target) * m) / (
-                jnp.sum(m) * 3.0 + 1e-6)
+    # --- face-part L1s (eyes/mouth/ears, weight 500 each) ---
+    # The reference runs its parser live on the target each step and sums SOFT class
+    # probabilities into part masks (va_losses_and_visuals.py:183-243); the loss is the
+    # plain L1 of masked images (mean over ALL pixels — the w=500 scale is calibrated
+    # to that, NOT to a mask-area-normalized mean). Masks may also arrive precomputed
+    # in the batch (input-pipeline option).
+    if w.eyes_l1 > 0 or w.mouth_l1 > 0 or w.ears_l1 > 0:
+        part_masks: Dict[str, jax.Array] = {}
+        if towers.face_parsing_apply is not None:
+            logits = jax.lax.stop_gradient(towers.face_parsing_apply(
+                towers.face_parsing_params, batch["target_img"]))
+            part_masks = soft_part_masks(logits)
+        else:
+            for part in ("eyes", "mouth", "ears"):
+                if f"{part}_mask" in batch:
+                    part_masks[part] = jax.lax.stop_gradient(batch[f"{part}_mask"])
+        for part, weight in (("eyes", w.eyes_l1), ("mouth", w.mouth_l1),
+                             ("ears", w.ears_l1)):
+            if part in part_masks and weight > 0:
+                m = part_masks[part].astype(pred.dtype)
+                losses[f"{part}_l1"] = weight * jnp.mean(jnp.abs(pred * m - target * m))
 
     total = jnp.zeros(())
     for v in losses.values():
@@ -178,13 +230,9 @@ def make_train_step(
         # D sees the generator's RAW output vs the composited target (reference
         # va.py:1003-1015): compositing the fake would hide G's background from D.
         pred_detached = jax.lax.stop_gradient(out["pred_target_img"])
-        target = batch["target_img"]
-        if cfg.train.use_seg and "target_mask" in batch:
-            mask = batch["target_mask"]
-            target = target * mask
-            if cfg.train.green:
-                green = (1.0 - mask) * jnp.asarray([0.0, 1.0, 0.0], target.dtype)
-                target = target + green
+        target = composite_target(
+            cfg, batch["target_img"],
+            out.get("refined_target_mask", batch.get("target_mask")))
 
         def dis_loss_fn(dis_params):
             real_scores, _ = dis_apply((dis_params, state.dis_sn_state), target)
@@ -215,6 +263,11 @@ def make_train_step(
             dis_opt_state=dis_opt_state,
             prev_targets=prev,
         )
+        if state.ema_params is not None:
+            from ..utils.ema import ema_update
+            new_state = new_state.replace(
+                ema_params=ema_update(state.ema_params, gen_params,
+                                      cfg.train.ema_decay))
         return new_state, metrics
 
     return train_step

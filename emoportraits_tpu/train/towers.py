@@ -1,0 +1,159 @@
+"""Frozen loss-tower construction: one factory for the trainer, the multi-chip dryrun,
+and tests.
+
+The reference builds its frozen evaluators inside Model.init_losses
+(va_losses_and_visuals.py:726-795): VGG19 + VGGFace perceptual towers, the RT-GENE gaze
+estimator, the ResNet-18 face-vector net (utils.py:1449), and the BiSeNet face parser +
+MODNet matting as model attributes (va.py:255-279). Here they are explicit
+(apply_fn, params) constants in `LossTowers` — pure inputs to the jitted step.
+
+`tiny=True` swaps every tower for a shape-compatible miniature (same layer names, same
+interfaces, ~1000x fewer FLOPs) so unit tests and the CPU-mesh dryrun compile in
+seconds while exercising the FULL prod loss set.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExperimentConfig
+from ..losses.face_vector import make_face_vector_tower
+from ..losses.perceptual import VGG16_STAGES, VGG19_STAGES, VGGFeatures
+from ..models.face_parsing import BiSeNet, normalize_for_parsing
+from ..models.head_pose import HeadPoseRegressor
+from ..models.matting import MattingNet
+from .step import LossTowers
+
+# five one-conv stages: keeps relu_{1..5}_1 feature names valid for perceptual_loss
+# and gaze_loss while compiling ~instantly
+_TINY_STAGES = ((1, 4), (1, 4), (1, 4), (1, 4), (1, 4))
+
+
+class FrozenNets(NamedTuple):
+    """The frozen nets that run inside the generator FORWARD (not just losses):
+    mask refinement + mixing matting (va.py:297-361, :682-684)."""
+    face_parsing: Optional[Tuple] = None  # (apply, params): img01 -> (B,H,W,19) logits
+    matting: Optional[Tuple] = None       # (apply, params): img01 -> (B,H,W,1) alpha
+
+
+def build_loss_towers(
+    cfg: ExperimentConfig,
+    key: jax.Array,
+    variables: Optional[Dict[str, Any]] = None,
+    *,
+    tiny: bool = False,
+) -> Tuple[LossTowers, FrozenNets]:
+    """Build every frozen tower the prod loss set needs.
+
+    `variables` may carry ported real weights per tower name ('vgg19', 'vggface',
+    'gaze', 'face_vector', 'face_parsing', 'matting', 'head_pose'); missing entries are
+    randomly initialized (tests / synthetic runs still exercise the full code paths).
+    """
+    variables = variables or {}
+    w = cfg.weights
+    s = cfg.train.image_size
+    keys = jax.random.split(key, 8)
+    init_img = jnp.zeros((1, min(s, 64 if tiny else s), min(s, 64 if tiny else s), 3),
+                         jnp.float32)
+
+    kw: Dict[str, Any] = {}
+
+    # --- head pose (always needed by the forward) ---
+    if tiny:
+        # interface-compatible miniature: mean-pool -> Dense(9) -> theta, replacing
+        # four full ResNet-18 passes per step (src/tgt/pred/mix re-regression)
+        from flax import linen as nn
+
+        from ..geometry.transforms import get_transform_matrix
+        from ..ops.blocks import Dense
+
+        class _TinyHeadPose(nn.Module):
+            @nn.compact
+            def __call__(self, x, return_srt=False):
+                out = jnp.tanh(Dense(9, name="fc")(jnp.mean(x, axis=(1, 2)))) * 0.2
+                # scale anchored at 1 so theta stays invertible and the aligned
+                # crops land on the image (the real regressor's ported weights
+                # produce calibrated scales; a raw random head would emit ~0)
+                s, r, t = 1.0 + out[:, :3], out[:, 3:6], out[:, 6:9]
+                theta = get_transform_matrix(s, r, t)
+                return (theta, s, r, t) if return_srt else theta
+
+        hp = _TinyHeadPose()
+    else:
+        hp = HeadPoseRegressor()
+    hp_vars = variables.get("head_pose") or jax.jit(hp.init)(
+        keys[0], jnp.zeros((1, s, s, 3), jnp.float32))
+    kw["head_pose_apply"] = lambda p, x, return_srt=False, _n=hp: _n.apply(
+        p, x, return_srt)
+    kw["head_pose_params"] = hp_vars
+
+    # --- perceptual towers ---
+    if w.vgg19 > 0:
+        vgg19 = VGGFeatures(stages=_TINY_STAGES if tiny else VGG19_STAGES)
+        kw["vgg19_apply"] = vgg19.apply
+        kw["vgg19_params"] = variables.get("vgg19") or jax.jit(vgg19.init)(
+            keys[1], init_img)
+    if w.vgg19_face > 0:
+        vggface = VGGFeatures(stages=_TINY_STAGES if tiny else VGG16_STAGES)
+        kw["vggface_apply"] = vggface.apply
+        kw["vggface_params"] = variables.get("vggface") or jax.jit(vggface.init)(
+            keys[2], init_img)
+
+    # --- gaze tower (RT-GENE role; losses/gaze.py eye crops are 36x60) ---
+    if w.gaze > 0:
+        gaze_net = VGGFeatures(stages=_TINY_STAGES if tiny else VGG16_STAGES)
+        kw["gaze_apply"] = gaze_net.apply
+        kw["gaze_params"] = variables.get("gaze") or jax.jit(gaze_net.init)(
+            keys[3], jnp.zeros((1, 36, 60, 3), jnp.float32))
+
+    # --- face-vector recognizer (resnet18_fv_mix) ---
+    if w.resnet18_fv_mix > 0:
+        if tiny:
+            fv_net = VGGFeatures(stages=_TINY_STAGES)
+            fv_params = variables.get("face_vector") or jax.jit(fv_net.init)(
+                keys[4], init_img)
+            fv_embed = lambda p, img, _n=fv_net: jnp.mean(
+                _n.apply(p, img)["relu_5_1"], axis=(1, 2))
+        else:
+            fv_embed, fv_params = make_face_vector_tower(keys[4])
+            if variables.get("face_vector") is not None:
+                fv_params = variables["face_vector"]
+        kw["face_vector_embed"] = fv_embed
+        kw["face_vector_params"] = fv_params
+
+    # --- face parser: part masks (w=500 losses) + use_mix_mask refinement ---
+    face_parsing = None
+    if (w.eyes_l1 > 0 or w.mouth_l1 > 0 or w.ears_l1 > 0
+            or cfg.train.use_mix_mask):
+        if tiny:
+            from ..ops.blocks import Conv
+            from flax import linen as nn
+
+            class _TinyParser(nn.Module):
+                @nn.compact
+                def __call__(self, x):
+                    return Conv(19, (3, 3), name="head")(x)
+
+            fp_net = _TinyParser()
+            fp_params = variables.get("face_parsing") or jax.jit(fp_net.init)(
+                keys[5], init_img)
+        else:
+            fp_net = BiSeNet()
+            fp_params = variables.get("face_parsing") or fp_net.init(
+                keys[5], jnp.zeros((1, s, s, 3), jnp.float32))
+        fp_apply = lambda p, img, _n=fp_net: _n.apply(p, normalize_for_parsing(img))
+        kw["face_parsing_apply"] = fp_apply
+        kw["face_parsing_params"] = fp_params
+        face_parsing = (fp_apply, fp_params)
+
+    # --- matting (MODNet role): mixing-image mask (va.py:682-684) ---
+    matting = None
+    if cfg.train.pred_mixing and cfg.train.use_mix_mask:
+        mt_net = MattingNet(base_channels=4 if tiny else 16,
+                            num_levels=2 if tiny else 4)
+        mt_params = variables.get("matting") or jax.jit(mt_net.init)(keys[6], init_img)
+        matting = (lambda p, img, _n=mt_net: _n.apply(p, img), mt_params)
+
+    return LossTowers(**kw), FrozenNets(face_parsing=face_parsing, matting=matting)

@@ -20,9 +20,7 @@ import numpy as np
 from ..config import ExperimentConfig
 from ..losses import psnr as psnr_metric
 from ..losses import ssim as ssim_metric
-from ..losses.perceptual import VGG19_STAGES, VGGFeatures
 from ..models.discriminator import MultiScaleDiscriminator
-from ..models.head_pose import HeadPoseRegressor
 from ..models.stage1 import VolumetricAvatar
 from ..parallel.mesh import (
     make_data_mesh,
@@ -35,6 +33,7 @@ from .forward import make_gen_apply
 from .logger import MetricsLogger
 from .state import TrainState, param_count
 from .step import LossTowers, make_train_step
+from .towers import FrozenNets, build_loss_towers
 
 
 class Trainer:
@@ -42,7 +41,10 @@ class Trainer:
                  test_stream: Optional[Iterator] = None,
                  log_dir: str = "logs", checkpoint_dir: Optional[str] = None,
                  tower_variables: Optional[Dict] = None,
-                 custom_test_images: Optional["np.ndarray"] = None):
+                 custom_test_images: Optional["np.ndarray"] = None,
+                 towers: Optional[LossTowers] = None,
+                 frozen_nets: Optional[FrozenNets] = None,
+                 tiny_towers: bool = False):
         self.cfg = cfg
         self.train_stream = train_stream
         self.test_stream = test_stream
@@ -53,7 +55,6 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.train.seed)
         self.model = VolumetricAvatar(cfg.model)
         self.dis = MultiScaleDiscriminator(cfg.model.discriminator)
-        self.head_pose = HeadPoseRegressor()
 
         s = cfg.train.image_size
         b = cfg.train.batch_size
@@ -63,19 +64,16 @@ class Trainer:
         with jax.default_device(jax.devices("cpu")[0]):
             gen_vars = jax.jit(self.model.init)(key, z, m1, z, th, th)
             dis_vars = jax.jit(self.dis.init)(key, z)
-            hp_vars = (tower_variables or {}).get("head_pose") or \
-                jax.jit(self.head_pose.init)(key, z)
-            tower = VGGFeatures(stages=VGG19_STAGES)
-            vgg_vars = (tower_variables or {}).get("vgg19") or \
-                jax.jit(tower.init)(key, jnp.zeros((1, s, s, 3), jnp.float32))
-
-        towers = LossTowers(
-            vgg19_apply=tower.apply, vgg19_params=vgg_vars,
-            head_pose_apply=lambda p, x, return_srt=False: self.head_pose.apply(
-                p, x, return_srt),
-            head_pose_params=hp_vars,
-        )
-        gen_apply = make_gen_apply(cfg, self.model, towers.head_pose_apply, hp_vars)
+            if towers is None:
+                towers, built_frozen = build_loss_towers(
+                    cfg, key, tower_variables, tiny=tiny_towers)
+                frozen_nets = frozen_nets or built_frozen
+        self.towers = towers
+        self.frozen_nets = frozen_nets or FrozenNets()
+        gen_apply = make_gen_apply(
+            cfg, self.model, towers.head_pose_apply, towers.head_pose_params,
+            face_parsing=self.frozen_nets.face_parsing,
+            matting=self.frozen_nets.matting)
         dis_apply = lambda variables, img: self.dis.apply(variables, img)
 
         # global batch = per-device batch x all devices; each host's stream yields
@@ -97,8 +95,10 @@ class Trainer:
         if self.ckpt is not None and self.ckpt.latest_step() is not None:
             self.state = self.ckpt.restore(self.state)
             self.logger.iteration = int(self.state.step)
-        self._hp_vars = hp_vars
+        self._hp_vars = towers.head_pose_params
         self._eval_drive = None
+        self._lpips = None
+        self._lpips_vars = (tower_variables or {}).get("lpips")
         print(f"generator params: {param_count(self.state.gen_params) / 1e6:.1f}M, "
               f"discriminator params: {param_count(self.state.dis_params) / 1e6:.1f}M")
 
@@ -135,7 +135,9 @@ class Trainer:
         return last
 
     def evaluate(self, num_batches: Optional[int] = None) -> Dict[str, float]:
-        """Held-out eval computing SSIM/PSNR on self-reenactment pairs
+        """Held-out eval computing the reference's full per-epoch metric surface:
+        SSIM/MS-SSIM/PSNR (whole frame + person/background separated), LPIPS,
+        face-vector cosine, and expression-PCA explained variance
         (reference test loop train.py:305-353, metrics va_losses_and_visuals.py:638-723)."""
         if self.test_stream is None:
             return {}
@@ -149,14 +151,35 @@ class Trainer:
                                                        method=m.encode_source))
             drv = jax.jit(lambda v, st, d, t: m.apply(v, st, d, t,
                                                       method=m.drive)[0])
-            hp = jax.jit(lambda p, x: self.head_pose.apply(p, x))
+            hp = jax.jit(lambda p, x: self.towers.head_pose_apply(p, x))
             self._eval_drive = (enc, drv, hp)
+            self._eval_expr = jax.jit(lambda v, d, t: m.apply(
+                v, d, t, method=m.expression_vector))
+        if self._lpips is None:
+            from ..losses.lpips import LPIPS
+
+            net = LPIPS()
+            s = self.cfg.train.image_size
+            if self._lpips_vars is None:
+                with jax.default_device(jax.devices("cpu")[0]):
+                    self._lpips_vars = jax.jit(net.init)(
+                        jax.random.PRNGKey(0),
+                        jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 3)))
+            self._lpips = jax.jit(net.apply)
         enc, drv, hp = self._eval_drive
-        variables = {"params": self.state.gen_params,
-                     "sn_state": self.state.gen_sn_state}
+        # serve from EMA params when tracked (utils/ema.py; cfg.train.ema_decay)
+        gen_params = (self.state.ema_params if self.state.ema_params is not None
+                      else self.state.gen_params)
+        variables = {"params": gen_params, "sn_state": self.state.gen_sn_state}
         from ..losses.metrics import ms_ssim as ms_ssim_metric
 
-        out = {"test/ssim": [], "test/psnr": [], "test/ms_ssim": []}
+        fv = self.towers.face_vector_embed
+        out: Dict[str, list] = {}
+
+        def add(k, v):
+            out.setdefault(f"test/{k}", []).append(float(v))
+
+        expr_vecs = []
         for bi in range(num_batches):
             batch = next(self.test_stream)
             if bi == 0 and self.custom_test_images is not None:
@@ -168,15 +191,43 @@ class Trainer:
             src = jnp.asarray(batch["source_img"])
             tgt = jnp.asarray(batch["target_img"])
             mask = jnp.asarray(batch.get("source_mask", np.ones_like(src[..., :1])))
+            tgt_mask = jnp.asarray(
+                batch.get("target_mask", np.ones_like(tgt[..., :1])))
             s_theta = hp(self._hp_vars, src)
             t_theta = hp(self._hp_vars, tgt)
             st = enc(variables, src, mask, s_theta)
             pred = drv(variables, st, tgt, t_theta)
-            out["test/ssim"].append(float(ssim_metric(pred, tgt)))
-            out["test/psnr"].append(float(psnr_metric(pred, tgt)))
+            add("ssim", ssim_metric(pred, tgt))
+            add("psnr", psnr_metric(pred, tgt))
+            # person/background-separated variants (reference suffix `_person`/`_back`,
+            # va_losses_and_visuals.py:690-712: metrics on mask-multiplied images)
+            add("ssim_person", ssim_metric(pred * tgt_mask, tgt * tgt_mask))
+            add("psnr_person", psnr_metric(pred * tgt_mask, tgt * tgt_mask))
+            inv = 1.0 - tgt_mask
+            add("ssim_back", ssim_metric(pred * inv, tgt * inv))
+            add("psnr_back", psnr_metric(pred * inv, tgt * inv))
+            add("lpips", self._lpips(self._lpips_vars, pred, tgt))
+            if fv is not None:
+                from ..losses.expression import cosine_sim
+
+                ep = fv(self.towers.face_vector_params, pred)
+                et = fv(self.towers.face_vector_params, tgt)
+                add("face_vector_cos", jnp.mean(cosine_sim(ep, et)))
             if tgt.shape[1] >= 176:  # MS-SSIM needs 5 halvings over an 11px window
-                out["test/ms_ssim"].append(float(ms_ssim_metric(pred, tgt)))
-        return {k: float(np.mean(v)) for k, v in out.items() if v}
+                add("ms_ssim", ms_ssim_metric(pred, tgt))
+            expr_vecs.append(np.asarray(self._eval_expr(variables, tgt, t_theta)))
+        metrics = {k: float(np.mean(v)) for k, v in out.items() if v}
+        if not expr_vecs:
+            return metrics
+        # expression-space PCA diagnostics (reference va_losses_and_visuals.py:670-674)
+        vecs = np.concatenate(expr_vecs)
+        if len(vecs) >= 4:
+            from ..utils.pca_metrics import pca_metrics
+
+            metrics.update({f"test/pca_{k}": float(v)
+                            for k, v in pca_metrics(vecs).items()
+                            if np.ndim(v) == 0})  # spectrum array stays out of scalars
+        return metrics
 
     def install_preemption_handler(self) -> None:
         """Save a checkpoint on SIGTERM/SIGINT before exiting — preemption tolerance

@@ -18,6 +18,9 @@ from emoportraits_tpu.train.step import LossTowers, make_train_step
 
 KEY = jax.random.PRNGKey(0)
 
+# compile-heavy e2e: excluded from the quick loop via `-m "not slow"`
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():
