@@ -70,7 +70,9 @@ class Decoder(nn.Module):
                 jnp.transpose(embed, (0, 3, 1, 2)).reshape(embed.shape[0], embed.shape[-1], -1))
 
         mi = 0
-        x = Conv(shared_ch, (1, 1), use_bias=False, name="in_conv", **sn)(feat_2d)
+        # res_decoder.0 at sequential index 0 -> SN only
+        x = Conv(shared_ch, (1, 1), use_bias=False, use_sn=self.use_sn,
+                 name="in_conv")(feat_2d)
         for i in range(c.num_blocks):
             blk_mods = mods[mi:mi + 2] if mods is not None else None
             mi += 2
@@ -94,6 +96,7 @@ class Decoder(nn.Module):
 
         y = GroupNorm(in_ch, name="head_norm")(x.astype(jnp.float32))
         y = activation_fn(c.activation)(y)
-        y = Conv(3, (1, 1), name="head_conv")(y)
+        # dec_img_head conv follows a GN sibling -> WS-converted (bias kept, SN dropped)
+        y = Conv(3, (1, 1), use_ws=self.use_ws, name="head_conv")(y)
         img = jax.nn.sigmoid(y)
         return img, (img_f if stage_two else None)

@@ -37,7 +37,8 @@ class LocalEncoder(nn.Module):
         sn = dict(use_ws=self.use_ws, use_sn=self.use_sn)
 
         out_ch = int(c.num_channels * c.channel_mult)
-        x = Conv(out_ch, (7, 7), use_ws=self.use_ws, use_sn=self.use_sn, name="from_rgb")(x)
+        # from_rgb sits at child index 0 -> never WS-converted (utils.py:1071-1077): SN only
+        x = Conv(out_ch, (7, 7), use_sn=self.use_sn, name="from_rgb")(x)
         for i in range(num_blocks):
             in_ch = out_ch
             out_ch = min(out_ch * 2, c.max_channels)
@@ -46,7 +47,8 @@ class LocalEncoder(nn.Module):
         if c.block_type == "res":
             x = GroupNorm(out_ch, name="final_norm")(x)
             x = activation_fn(c.activation)(x)
-        x = Conv(v.channels * v.depth, (1, 1), use_ws=self.use_ws, use_sn=self.use_sn,
+        # finale_layers conv follows a GN sibling -> WS-converted (bias=True, SN dropped)
+        x = Conv(v.channels * v.depth, (1, 1), use_ws=self.use_ws,
                  name="final_conv")(x)
 
         b, s = x.shape[0], x.shape[1]

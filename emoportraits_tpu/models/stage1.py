@@ -58,13 +58,15 @@ class VolumetricAvatar(nn.Module):
         Unet3D_ = nn.remat(Unet3D) if m.remat else Unet3D
         Decoder_ = nn.remat(Decoder, static_argnums=(3,)) if m.remat else Decoder
         self.local_encoder_nw = LocalEncoder_(m.local_encoder, m.volume, **sn)
-        self.idt_embedder_nw = IdtEmbed(m.idt_embedder)
-        self.expression_embedder_nw = ExpressionEmbed(m.expression_embedder)
-        # Linear 128 -> 512*E^2 lifting the expression vec to a spatial embed (va.py:172-176)
+        self.idt_embedder_nw = IdtEmbed(m.idt_embedder, **sn)
+        self.expression_embedder_nw = ExpressionEmbed(m.expression_embedder, **sn)
+        # Linear 128 -> 512*E^2 lifting the expression vec to a spatial embed
+        # (va.py:172-176; pose_unsqueeze_nw is NOT in spn_networks -> no SN)
         self.pose_unsqueeze_nw = Dense(
             m.max_channels * m.embed_size ** 2, use_bias=False)
-        # 1x1 conv fusing (pose + idt)/2 (va.py:179-184)
-        self.warp_embed_head_orig_nw = Conv(m.max_channels, (1, 1), use_bias=False)
+        # 1x1 conv fusing (pose + idt)/2 (va.py:179-184; in spn_networks -> SN)
+        self.warp_embed_head_orig_nw = Conv(m.max_channels, (1, 1), use_bias=False,
+                                            use_sn=m.use_sn)
         self.xy_generator_nw = WarpGenerator(m.warp_generator, **sn)
         self.uv_generator_nw = WarpGenerator(m.warp_generator, **sn)
         if m.source_volume_num_blocks > 0:

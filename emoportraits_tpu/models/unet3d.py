@@ -90,5 +90,7 @@ class Unet3D(nn.Module):
 
         y = GroupNorm(out_ch, name="head_norm")(y)
         y = activation_fn(c.activation)(y)
-        y = Conv(out_ch, (1, 1, 1), name="head_conv", **sn)(y)
+        # head conv3d after a PLAIN GroupNorm: the 3D WS rule needs AdaptiveGroupNorm
+        # (utils.py:1085), so this keeps its SN hook
+        y = Conv(out_ch, (1, 1, 1), use_sn=self.use_sn, name="head_conv")(y)
         return y

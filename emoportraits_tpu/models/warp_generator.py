@@ -74,7 +74,8 @@ class WarpGenerator(nn.Module):
         mods = ProjectorNorm(tuple(chans), c.max_channels, c.embed_size,
                              name="projector")(embed_flat)
 
-        x = Conv(top_ch * e, (1, 1), use_bias=False, use_ws=self.use_ws,
+        # first_conv at child index 0 -> SN only (never WS-converted)
+        x = Conv(top_ch * e, (1, 1), use_bias=False,
                  use_sn=self.use_sn, name="first_conv")(embed)
         # (B, E, E, top*E) -> C-major split (C, D) -> (B, D, E, E, C)
         x = x.reshape(b, e, e, top_ch, e)
@@ -105,7 +106,8 @@ class WarpGenerator(nn.Module):
         if c.block_type == "res":
             x = GroupNorm(out_chs[-1], name="pre_head_norm")(x.astype(jnp.float32))
             x = activation_fn(c.activation)(x)
-        deltas = Conv(3, (3, 3, 3), name="head")(x)
+        # head conv3d keeps its SN hook (sequential index 0 of head.0)
+        deltas = Conv(3, (3, 3, 3), use_sn=self.use_sn, name="head")(x)
         deltas = jnp.tanh(deltas)
         grid = make_identity_grid_3d(c.output_depth, c.output_size, c.output_size,
                                      dtype=deltas.dtype)

@@ -55,32 +55,37 @@ def _standardize_kernel(kernel: jax.Array) -> jax.Array:
 
 
 def _spectral_normalize(module: nn.Module, kernel: jax.Array, n_iters: int = 1) -> jax.Array:
-    """Spectral normalization via power iteration (reference utils/spectral_norm.py:12-54).
+    """Spectral normalization via power iteration (reference utils/spectral_norm.py:12-54,
+    a copy of torch.nn.utils.spectral_norm).
 
-    The kernel is viewed as (out, -1) like torch SN; `u` persists in the `sn_state`
-    collection. When `sn_state` is not mutable (inference), the stored `u` is used as-is.
+    The kernel is viewed as (out, -1) like torch SN; `u` AND `v` persist in the
+    `sn_state` collection. Training (mutable sn_state): one power iteration
+    v <- normalize(W^T u), u <- normalize(W v), then sigma = u^T W v — torch train
+    semantics. Inference (frozen sn_state): sigma from the STORED u, v without
+    iteration — torch eval semantics, so ported checkpoints reproduce outputs exactly.
     """
     out_ch = kernel.shape[-1]
     w = kernel.reshape(-1, out_ch).T  # (out, rest)
+    rng = (module.make_rng("params") if module.has_rng("params")
+           else jax.random.PRNGKey(0))
     u_var = module.variable(
-        "sn_state", "u",
-        lambda: jax.random.normal(module.make_rng("params") if module.has_rng("params")
-                                  else jax.random.PRNGKey(0), (out_ch,)))
-    u = u_var.value
-    u = u / (jnp.linalg.norm(u) + 1e-12)
-    for _ in range(n_iters):
-        v = w.T @ u
-        v = v / (jnp.linalg.norm(v) + 1e-12)
-        u_new = w @ v
-        u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-        u = u_new
-    u = jax.lax.stop_gradient(u)
-    v = jax.lax.stop_gradient(v)
-    sigma = u @ (w @ v)
-    if not module.is_initializing() and not module.is_mutable_collection("sn_state"):
-        pass
-    else:
+        "sn_state", "u", lambda: jax.random.normal(rng, (out_ch,)))
+    v_var = module.variable(
+        "sn_state", "v",
+        lambda: jax.random.normal(jax.random.fold_in(rng, 1), (w.shape[1],)))
+    u, v = u_var.value, v_var.value
+    if module.is_initializing() or module.is_mutable_collection("sn_state"):
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+        for _ in range(n_iters):
+            v = w.T @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
+            u = w @ v
+            u = u / (jnp.linalg.norm(u) + 1e-12)
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
         u_var.value = u
+        v_var.value = v
+    sigma = u @ (w @ v)
     return kernel / sigma
 
 
@@ -112,10 +117,14 @@ class Conv(nn.Module):
             "kernel",
             lambda rng, shape: jax.random.uniform(rng, shape, jnp.float32, -bound, bound),
             (*self.kernel_size, in_ch // self.feature_group_count, self.features))
-        if self.use_ws:
-            kernel = _standardize_kernel(kernel)
+        # Order matters and matches the reference: torch spectral_norm is a pre-hook
+        # setting weight = weight_orig/sigma, THEN Conv2d_ws.forward standardizes it
+        # (utils.py:887-931). Standardization is scale-invariant, so with both on the
+        # SN division cancels — exactly the reference's effective behavior.
         if self.use_sn:
             kernel = _spectral_normalize(self, kernel)
+        if self.use_ws:
+            kernel = _standardize_kernel(kernel)
 
         strides = (self.strides,) * ndim if isinstance(self.strides, int) else tuple(self.strides)
         if ndim == 2:
@@ -298,6 +307,13 @@ class ResBlock(nn.Module):
     when channels change. `stride>1` with resize='nearest'/'bilinear' upsamples BEFORE the
     block; with resize='avgpool' downsamples AFTER. Inner convs are bias-free, matching
     the reference (m_bias=False).
+
+    WS/SN placement replicates the reference's application order and sibling rule
+    (va.py:113-118: SN hooks first, THEN replace_conv_to_ws_conv, utils.py:1061-1096):
+      * only the FIRST conv (block_feats.2) is WS-converted — the rule requires the
+        previous sibling to be a plain nn.GroupNorm (2D) / AdaptiveGroupNorm (3D);
+      * the WS replacement builds a FRESH conv with bias=True, dropping its SN hook;
+      * conv_1 (block.0, sequential index 0) and skip never match the rule: SN only.
     """
     in_channels: int
     out_channels: int
@@ -312,7 +328,13 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mods: Optional[Sequence[Mod]] = None):
         k = (3,) * self.ndim
-        conv_kw = dict(use_bias=False, use_ws=self.use_ws, use_sn=self.use_sn)
+        # sibling rule: 2D + plain GN or 3D + adaptive GN -> conv_0 is WS'd (bias=True,
+        # SN dropped); everything else keeps the SN hook and the original bias=False
+        ws0 = self.use_ws and self.norm != "none" and (
+            (self.ndim == 2 and not self.norm.startswith("ada_"))
+            or (self.ndim == 3 and self.norm.startswith("ada_")))
+        conv0_kw = dict(use_bias=ws0, use_ws=ws0, use_sn=self.use_sn and not ws0)
+        conv_kw = dict(use_bias=False, use_ws=False, use_sn=self.use_sn)
         upsample = self.resize in ("nearest", "bilinear", "trilinear") and self.stride > 1
         downsample = self.resize in ("avgpool", "maxpool") and self.stride > 1
         if self.stride > 1 and not (upsample or downsample):
@@ -325,7 +347,7 @@ class ResBlock(nn.Module):
         m0 = mods[0] if mods is not None else None
         m1 = mods[1] if mods is not None else None
         out = NormAct(self.in_channels, self.norm, self.activation, name="norm_act_0")(out, m0)
-        out = Conv(self.out_channels, k, name="conv_0", **conv_kw)(out)
+        out = Conv(self.out_channels, k, name="conv_0", **conv0_kw)(out)
         out = NormAct(self.out_channels, self.norm, self.activation, name="norm_act_1")(out, m1)
         out = Conv(self.out_channels, k, name="conv_1", **conv_kw)(out)
         if downsample:
@@ -367,7 +389,9 @@ class ConvBlock(nn.Module):
         out = x
         if upsample:
             out = _resize_up(out, self.stride, self.resize)
-        out = Conv(self.out_channels, k, use_bias=False, use_ws=self.use_ws,
+        # ConvBlock's conv sits at sequential index 0, so the reference WS replacement
+        # never touches it (utils.py:1071-1077) — SN only.
+        out = Conv(self.out_channels, k, use_bias=False, use_ws=False,
                    use_sn=self.use_sn, name="conv")(out)
         m0 = mods[0] if mods is not None else None
         if self.norm != "none":

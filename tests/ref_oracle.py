@@ -1,0 +1,116 @@
+"""Oracle access to the reference PyTorch implementation at /root/reference.
+
+The porting parity tests build the REAL reference nets (torch, CPU, random weights),
+port their state_dicts with emoportraits_tpu.port, and assert output parity against our
+flax modules. The reference package imports torchvision/ibug repos that are not in this
+image, so light module stubs are installed first — only names needed at import time.
+
+This file is test infrastructure, not product code; nothing from the reference is
+copied, it is imported and executed as a black-box oracle.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REF, "networks"))
+
+
+def install_stubs() -> None:
+    for name in ("torchvision", "torchvision.models", "torchvision.transforms",
+                 "torchvision.transforms.functional", "torchvision.models.resnet"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    if "repos" not in sys.modules:
+        repos = types.ModuleType("repos")
+        repos.__path__ = []
+        rres = types.ModuleType("repos.resnet")
+
+        class ResNet18:  # placeholder; only referenced at import time
+            pass
+
+        rres.ResNet18 = ResNet18
+        sys.modules["repos"] = repos
+        sys.modules["repos.resnet"] = rres
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+# ------------------------------------------------- test-size reference configurations
+# Channel counts are multiples of 32 so the reference's fixed GroupNorm(32) is legal.
+
+def local_encoder_cfg(image_size=64, latent_size=16, latent_depth=4,
+                      latent_channels=32, num_channels=32, mult=1.0, max_ch=64):
+    from networks.volumetric_avatar import LocalEncoder
+
+    return LocalEncoder.Config(
+        gen_upsampling_type="trilinear", gen_downsampling_type="avgpool",
+        gen_input_image_size=image_size, gen_latent_texture_size=latent_size,
+        gen_latent_texture_depth=latent_depth,
+        gen_latent_texture_channels=latent_channels, gen_num_channels=num_channels,
+        enc_channel_mult=mult, norm_layer_type="gn", gen_max_channels=max_ch,
+        enc_block_type="res", gen_activation_type="relu", num_gpus=0,
+        warp_norm_grad=False, in_channels=3)
+
+
+def warp_generator_cfg(dummy=4, out_size=16, depth=4, num_channels=32, max_ch=64):
+    from networks.volumetric_avatar import WarpGenerator
+
+    return WarpGenerator.Config(
+        eps=1e-8, num_gpus=0, gen_adaptive_conv_type="sum",
+        gen_activation_type="relu", gen_upsampling_type="trilinear",
+        gen_downsampling_type="avgpool", gen_dummy_input_size=dummy,
+        gen_latent_texture_depth=depth, gen_latent_texture_size=out_size,
+        gen_max_channels=max_ch, gen_num_channels=num_channels,
+        gen_use_adaconv=False, gen_adaptive_kernel=False, gen_embed_size=4,
+        warp_output_size=out_size, warp_channel_mult=1.0, warp_block_type="res",
+        norm_layer_type="gn", input_channels=max_ch)
+
+
+def unet3d_cfg(size=16, depth=4, channels=32, dummy=4, max_ch=128):
+    from networks.volumetric_avatar import Unet3D
+
+    return Unet3D.Config(
+        eps=1e-8, num_gpus=0, gen_embed_size=4, gen_adaptive_kernel=False,
+        gen_use_adanorm=False, gen_use_adaconv=False,
+        gen_upsampling_type="trilinear", gen_downsampling_type="avgpool",
+        gen_dummy_input_size=dummy, gen_latent_texture_size=size,
+        gen_latent_texture_depth=depth, gen_adaptive_conv_type="sum",
+        gen_latent_texture_channels=channels, gen_activation_type="relu",
+        gen_max_channels=max_ch, warp_norm_grad=False, warp_block_type="res",
+        tex_pred_rgb=False, image_size=64, tex_use_skip_resblock=True,
+        norm_layer_type="gn")
+
+
+def vpn_cfg(channels=32, num_blocks=2):
+    from networks.volumetric_avatar import VPN_ResBlocks
+
+    return VPN_ResBlocks.Config(
+        num_gpus=0, norm_layer_type="gn", input_channels=channels,
+        num_blocks=num_blocks, activation_type="relu", conv_layer_type="conv_3d",
+        channels=[])
+
+
+def decoder_cfg(image_size=32, latent_size=16, in_channels=128, num_channels=32,
+                mult=2.0, max_ch=128, num_blocks=2, lrs=2, div=1.5):
+    from networks.volumetric_avatar import Decoder
+
+    return Decoder.Config(
+        eps=1e-8, image_size=image_size, gen_embed_size=4,
+        gen_adaptive_kernel=False, gen_adaptive_conv_type="sum",
+        gen_latent_texture_size=latent_size, in_channels=in_channels,
+        gen_num_channels=num_channels, dec_max_channels=max_ch,
+        gen_use_adanorm=False, gen_activation_type="relu", gen_use_adaconv=False,
+        dec_channel_mult=mult, dec_num_blocks=num_blocks, dec_up_block_type="res",
+        dec_pred_seg=False, dec_seg_channel_mult=1.0, num_gpus=0,
+        norm_layer_type="gn", bigger=False, vol_render=False,
+        im_dec_num_lrs_per_resolution=lrs, im_dec_ch_div_factor=div,
+        emb_v_exp=False, dec_use_sg3_img_dec=False, no_detach_frec=1,
+        dec_key_emb="orig_d")
