@@ -1,14 +1,16 @@
 """Headline benchmark: frames/sec/chip for 512px per-frame reenactment (the drive step).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. Baseline: the
-BASELINE.json north-star of 30 fps per-avatar 512px on one v5e chip (the reference
-publishes no numbers — README.md:161-163).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} with extra context
+fields (per-step FLOPs from XLA cost analysis and the implied MFU on a ~197 TFLOP/s
+bf16 v5e chip). Baseline: the BASELINE.json north-star of 30 fps per-avatar 512px on
+one v5e chip (the reference publishes no numbers — README.md:161-163).
 
 Env knobs:
   BENCH_MODE = fused_bf16 (default) | plain_f32 | fused_f32 | plain_bf16
       fused_* composes the uv+rotation warps into one volume gather (cfg.fuse_warps);
       bf16 runs parameters+activations in bfloat16.
   BENCH_BATCH = concurrent avatars per chip (default 1).
+  BENCH_TRAIN = 1 -> measure the full GAN train step (it/s + MFU) instead of serving.
 
 Measured on TPU v5e (single chip, 512px): plain_f32 41.6 fps, fused_f32 43.4,
 plain_bf16 53.6, fused_bf16 54.6 fps.
@@ -24,10 +26,106 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: repeat bench runs skip the multi-minute 512px compile
+try:
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+# v5e peak: ~197 TFLOP/s bf16, ~98.5 TFLOP/s fp32 (public spec)
+PEAK_FLOPS = {"bf16": 197e12, "f32": 98.5e12}
+
+
+def _cost_flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_train():
+    """Full prod-loss GAN train step throughput on one chip (BENCH_TRAIN=1)."""
+    from emoportraits_tpu.config import ExperimentConfig
+    from emoportraits_tpu.models.discriminator import MultiScaleDiscriminator
+    from emoportraits_tpu.models.stage1 import VolumetricAvatar
+    from emoportraits_tpu.train.forward import make_gen_apply
+    from emoportraits_tpu.train.state import TrainState
+    from emoportraits_tpu.train.step import make_train_step
+    from emoportraits_tpu.train.towers import build_loss_towers
+
+    cfg = ExperimentConfig()
+    bf16 = "bf16" in os.environ.get("BENCH_MODE", "fused_bf16")
+    if bf16:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, bf16_activations=True))
+    b, s = int(os.environ.get("BENCH_BATCH", "1")), cfg.train.image_size
+    key = jax.random.PRNGKey(0)
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    rng = np.random.default_rng(0)
+    dt_in = jnp.bfloat16 if bf16 else jnp.float32
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), np.float32), dt_in),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), np.float32), dt_in),
+        "source_mask": jnp.ones((b, s, s, 1), dt_in),
+        "target_mask": jnp.ones((b, s, s, 1), dt_in),
+        "target_keypoints": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (b, 68, 2)).astype(np.float32)),
+    }
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        gen_vars = jax.jit(model.init)(key, batch["source_img"],
+                                       batch["source_mask"], batch["target_img"],
+                                       theta, theta)
+        dis_vars = jax.jit(dis.init)(key, batch["target_img"])
+        towers, frozen = build_loss_towers(cfg, key)
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params,
+                               face_parsing=frozen.face_parsing,
+                               matting=frozen.matting)
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    step = jax.jit(make_train_step(
+        cfg, gen_apply, lambda v, img: dis.apply(v, img), towers),
+        donate_argnums=(0,))
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    batch = jax.device_put(batch, dev)
+    lowered = step.lower(state, batch, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    flops = _cost_flops(compiled)
+    state, metrics = compiled(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = compiled(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / n
+    peak = PEAK_FLOPS["bf16" if bf16 else "f32"]
+    print(json.dumps({
+        "metric": "train_step_512px_per_chip",
+        "value": round(1.0 / dt, 3),
+        "unit": "it/s",
+        "vs_baseline": round((1.0 / dt) / 1.0, 3),
+        "ms_per_iter": round(dt * 1e3, 1),
+        "step_tflops": round(flops / 1e12, 2),
+        "mfu": round(flops / dt / peak, 4),
+    }))
+
 
 def main():
     from emoportraits_tpu.config import ExperimentConfig
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
+
+    if os.environ.get("BENCH_TRAIN"):
+        return bench_train()
 
     mode = os.environ.get("BENCH_MODE", "fused_bf16")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
@@ -66,22 +164,29 @@ def main():
 
     state = enc(variables, src, mask, theta)
     jax.block_until_ready(state)
-    img = drv_fn(variables, state, drv, theta)
+    lowered = drv_fn.lower(variables, state, drv, theta)
+    compiled = lowered.compile()
+    flops = _cost_flops(compiled)
+    img = compiled(variables, state, drv, theta)
     img.block_until_ready()
 
     n = 50
     t0 = time.perf_counter()
     for _ in range(n):
-        img = drv_fn(variables, state, drv, theta)
+        img = compiled(variables, state, drv, theta)
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / n
     fps = batch / dt
+    peak = PEAK_FLOPS["bf16" if dtype == jnp.bfloat16 else "f32"]
 
     print(json.dumps({
         "metric": "drive_fps_512px_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "ms_per_frame": round(dt * 1e3 / batch, 2),
+        "step_tflops": round(flops / 1e12, 3),
+        "mfu": round(flops / dt / peak, 4),
     }))
 
 

@@ -48,6 +48,67 @@ def random_flip_pair(arrays: Tuple[np.ndarray, ...], rng: np.random.Generator,
     return arrays
 
 
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized numpy bilinear resize, half-pixel centers (PIL/jax 'linear'
+    semantics) — replaces integer-index subsampling, which aliases on downscale."""
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    ys = (np.arange(out_h, dtype=np.float32) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w, dtype=np.float32) + 0.5) * w / out_w - 0.5
+    ys = np.clip(ys, 0, h - 1)
+    xs = np.clip(xs, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    out = a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx
+    return out.astype(img.dtype)
+
+
+def geometric_crop(
+    img: np.ndarray,
+    mask: np.ndarray,
+    rng: np.random.Generator,
+    keypoints: Optional[np.ndarray] = None,
+    face_scale: float = 1.0,
+    min_scale: float = 0.67,
+):
+    """Random square crop-zoom (reference preprocess_data,
+    voxceleb2hq_pairs.py:421-483): scale drawn in [MIN_SCALE/face_scale, 1], random
+    top-left translation, crop + bilinear resize back; keypoints are remapped into the
+    crop's [-1, 1] frame with the same affine (:457-461). Returns (img, mask,
+    keypoints)."""
+    h, w = img.shape[:2]
+    if face_scale < min_scale:
+        return img, mask, keypoints
+    lo = min_scale / face_scale
+    scale = rng.random() * (1 - lo) + lo
+    tx = rng.random() * (1 - scale)
+    ty = rng.random() * (1 - scale)
+    x0, y0 = int(round(w * tx)), int(round(h * ty))
+    x1, y1 = int(round(w * (tx + scale))), int(round(h * (ty + scale)))
+    img = bilinear_resize(img[y0:y1, x0:x1], h, w)
+    mask = bilinear_resize(mask[y0:y1, x0:x1], h, w)
+    if keypoints is not None:
+        kp = keypoints.astype(np.float32).copy()
+        # keypoints arrive in [-1, 1]; map through the crop box
+        u = (kp[..., 0] + 1.0) / 2.0
+        v = (kp[..., 1] + 1.0) / 2.0
+        kp[..., 0] = ((u - tx) / scale) * 2.0 - 1.0
+        kp[..., 1] = ((v - ty) / scale) * 2.0 - 1.0
+        if kp.shape[-1] > 2:
+            kp[..., 2] = kp[..., 2] / scale
+        keypoints = kp
+    return img, mask, keypoints
+
+
 def elastic_warp(img: np.ndarray, rng: np.random.Generator,
                  grid: int = 5, magnitude: float = 0.05) -> np.ndarray:
     """DeepFaceLab-style random elastic warp (reference augment_via_warp,

@@ -16,7 +16,13 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from .augment import color_jitter, elastic_warp, random_flip_pair, random_grayscale
+from .augment import (
+    bilinear_resize,
+    color_jitter,
+    elastic_warp,
+    geometric_crop,
+    random_grayscale,
+)
 from .records import ShardedClipStore
 
 
@@ -24,11 +30,12 @@ class PairDataset:
     """Yields dict batches of (source, target) frame pairs from one clip each."""
 
     def __init__(self, store: ShardedClipStore, image_size: int, *,
-                 augment: bool = True, seed: int = 0,
+                 augment: bool = True, augment_geometric: bool = True, seed: int = 0,
                  process_index: int = 0, process_count: int = 1):
         self.store = store
         self.image_size = image_size
         self.augment = augment
+        self.augment_geometric = augment_geometric
         self.rng = np.random.default_rng(seed + process_index)
         # per-host shard of the clip list (replaces DistributedSampler)
         n = len(store)
@@ -38,12 +45,7 @@ class PairDataset:
             self.clip_ids = idx
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
-        s = self.image_size
-        if img.shape[0] == s:
-            return img
-        ys = (np.linspace(0, img.shape[0] - 1, s)).astype(int)
-        xs = (np.linspace(0, img.shape[1] - 1, s)).astype(int)
-        return img[ys][:, xs]
+        return bilinear_resize(img, self.image_size, self.image_size)
 
     def sample_pair(self) -> Dict[str, np.ndarray]:
         """One (source, target) example; retries on failure like the reference's
@@ -58,10 +60,26 @@ class PairDataset:
                 masks = data["masks"].astype(np.float32)[..., None] / 255.0
                 src, tgt = self._resize(frames[0]), self._resize(frames[1])
                 smask, tmask = self._resize(masks[0]), self._resize(masks[1])
+                skp = data["keypoints"][0] if "keypoints" in data else None
+                tkp = data["keypoints"][1] if "keypoints" in data else None
                 out = {}
                 if self.augment:
-                    src, tgt, smask, tmask = random_flip_pair(
-                        (src, tgt, smask, tmask), self.rng)
+                    if self.augment_geometric:
+                        # independent crop params per frame (reference
+                        # preprocess_data, voxceleb2hq_pairs.py:433-441)
+                        src, smask, skp = geometric_crop(src, smask, self.rng,
+                                                         keypoints=skp)
+                        tgt, tmask, tkp = geometric_crop(tgt, tmask, self.rng,
+                                                         keypoints=tkp)
+                    if self.rng.random() < 0.5:  # pair-consistent horizontal flip
+                        src, tgt, smask, tmask = (
+                            np.ascontiguousarray(a[:, ::-1])
+                            for a in (src, tgt, smask, tmask))
+                        if skp is not None:
+                            skp = skp.copy()
+                            tkp = tkp.copy()
+                            skp[..., 0] *= -1.0  # keypoints live in [-1, 1]
+                            tkp[..., 0] *= -1.0
                     src = random_grayscale(color_jitter(src, self.rng), self.rng)
                     tgt = random_grayscale(color_jitter(tgt, self.rng), self.rng)
                     out["source_warp_aug"] = elastic_warp(src, self.rng)
@@ -72,9 +90,9 @@ class PairDataset:
                     "source_mask": np.ascontiguousarray(smask),
                     "target_mask": np.ascontiguousarray(tmask),
                 })
-                if "keypoints" in data:
-                    out["source_keypoints"] = data["keypoints"][0]
-                    out["target_keypoints"] = data["keypoints"][1]
+                if skp is not None:
+                    out["source_keypoints"] = skp
+                    out["target_keypoints"] = tkp
                 return out
             except Exception:
                 continue

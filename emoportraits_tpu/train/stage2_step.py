@@ -31,6 +31,7 @@ from .state import make_optimizer
 class Stage2TrainState:
     step: jax.Array
     enh_params: Any
+    enh_sn_state: Any
     enh_opt_state: optax.OptState
     dis_params: Any
     dis_sn_state: Any
@@ -43,6 +44,7 @@ class Stage2TrainState:
         return cls(
             step=jnp.zeros((), jnp.int32),
             enh_params=enh_variables["params"],
+            enh_sn_state=enh_variables.get("sn_state", {}),
             enh_opt_state=enh_opt.init(enh_variables["params"]),
             dis_params=dis_variables["params"],
             dis_sn_state=dis_variables.get("sn_state", {}),
@@ -52,7 +54,7 @@ class Stage2TrainState:
 
 def make_stage2_train_step(
     cfg: ExperimentConfig,
-    enhancer_apply: Callable,   # (params, resized_pred, face_mask) -> refined image
+    enhancer_apply: Callable,   # (variables, pred, mask) -> (refined, mutated vars)
     dis_apply: Callable,        # (variables, img) -> (scores, feats)
     vgg19_apply: Callable = None,
     vgg19_params: Any = None,
@@ -70,7 +72,8 @@ def make_stage2_train_step(
         mask = batch.get("face_mask", jnp.ones_like(pred_s1[..., :1]))
 
         def enh_loss_fn(params):
-            refined = enhancer_apply({"params": params}, pred_s1, mask)
+            refined, enh_muts = enhancer_apply(
+                {"params": params, "sn_state": state.enh_sn_state}, pred_s1, mask)
             dis_vars = {"params": state.dis_params, "sn_state": state.dis_sn_state}
             real_scores, real_feats = dis_apply(dis_vars, target)
             fake_scores, fake_feats = dis_apply(dis_vars, refined)
@@ -84,9 +87,9 @@ def make_stage2_train_step(
                 losses["vgg19"] = w.vgg19 * perceptual_loss(
                     vgg19_apply, vgg19_params, refined, target, num_scales=2)
             total = sum(losses.values())
-            return total, (losses, refined)
+            return total, (losses, refined, enh_muts)
 
-        (enh_loss, (losses, refined)), grads = jax.value_and_grad(
+        (enh_loss, (losses, refined, enh_muts)), grads = jax.value_and_grad(
             enh_loss_fn, has_aux=True)(state.enh_params)
         updates, enh_opt_state = enh_opt.update(grads, state.enh_opt_state,
                                                 state.enh_params)
@@ -110,6 +113,7 @@ def make_stage2_train_step(
         metrics["s2/dis"] = dis_loss
         new_state = state.replace(
             step=state.step + 1, enh_params=enh_params,
+            enh_sn_state=enh_muts.get("sn_state", state.enh_sn_state),
             enh_opt_state=enh_opt_state, dis_params=dis_params,
             dis_opt_state=dis_opt_state)
         return new_state, metrics

@@ -12,6 +12,9 @@ from emoportraits_tpu.config import Stage2Config, tiny_config
 from emoportraits_tpu.infer.wrapper import InferenceWrapper
 from emoportraits_tpu.models.head_pose import HeadPoseRegressor
 from emoportraits_tpu.models.stage1 import VolumetricAvatar
+
+# compile-heavy e2e: excluded from the quick loop via `-m "not slow"`
+pytestmark = pytest.mark.slow
 from emoportraits_tpu.models.stage2 import Stage2Enhancer
 
 KEY = jax.random.PRNGKey(0)
@@ -61,7 +64,9 @@ def test_stage2_cascade():
     m1 = jnp.ones((1, s, s, 1))
     th = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
     variables = model.init(KEY, z, m1, z, th, th)
-    s2cfg = Stage2Config(image_size=s, num_channels=4, max_channels=16, num_blocks=1, latent_size=16)
+    s2cfg = Stage2Config(image_size=s, num_channels=4, max_channels=16,
+                         dec_num_blocks=1, latent_size=16, latent_channels=4,
+                         latent_depth=2, dec_feat_channels=(8, 8))
     enh = Stage2Enhancer(s2cfg)
     s2_vars = enh.init(KEY, jnp.zeros((1, s, s, 3)), jnp.ones((1, s, s, 1)))
     # wrapper must accept the matching stage2 module config

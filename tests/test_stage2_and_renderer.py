@@ -12,7 +12,10 @@ KEY = jax.random.PRNGKey(0)
 
 
 def test_stage2_residual_refinement():
-    cfg = Stage2Config(image_size=64, num_channels=8, max_channels=32, num_blocks=2, latent_size=16)
+    cfg = Stage2Config(image_size=64, num_channels=8, max_channels=32,
+                       dec_num_blocks=2, latent_size=16, latent_channels=8,
+                       latent_depth=4, enc_channel_mult=1.0, dec_channel_mult=1.0,
+                       dec_feat_channels=(16, 16, 8, 8))
     m = Stage2Enhancer(cfg)
     rng = np.random.default_rng(0)
     pred = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))

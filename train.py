@@ -37,10 +37,19 @@ def main():
     p.add_argument("--synthetic", action="store_true",
                    help="use the built-in synthetic dataset (smoke runs)")
     p.add_argument("--tiny", action="store_true", help="tiny model config")
+    p.add_argument("--stage2", action="store_true",
+                   help="train the stage-2 512px enhancer on frozen stage-1 outputs "
+                        "(reference models/stage_2, volumetric_avatar_two.py)")
+    p.add_argument("--stage1-checkpoint", type=str, default=None,
+                   help="orbax checkpoint dir of the frozen stage-1 model (--stage2)")
     args = p.parse_args()
 
     from emoportraits_tpu.config import ExperimentConfig, tiny_config
-    from emoportraits_tpu.data.pairs import InterleavedStream, PairDataset
+    from emoportraits_tpu.data.pairs import (
+        InterleavedStream,
+        PairDataset,
+        Prefetcher,
+    )
     from emoportraits_tpu.data.records import ShardedClipStore, make_synthetic_store
     from emoportraits_tpu.train.trainer import Trainer
 
@@ -60,13 +69,27 @@ def main():
         args.data_root = root
 
     def make_stream(root, split="train"):
+        # global batch = per-device batch x local devices
+        gb = cfg.train.batch_size * jax.local_device_count()
+        if split == "train":
+            # prefer the native C++ mmap loader when an EMOS1 store exists at root
+            # (native/emodata.cc; falls back to the Python reader otherwise)
+            try:
+                from emoportraits_tpu.data.native import NativePairLoader
+
+                loader = NativePairLoader(root, cfg.train.image_size,
+                                          seed=cfg.train.seed)
+                if loader.num_clips() > 0:
+                    print(f"using native emodata loader for {root}")
+                    return loader.batches(gb)
+            except Exception:
+                pass
         store = ShardedClipStore(root, split=split)
         ds = PairDataset(store, cfg.train.image_size, augment=(split == "train"),
                          seed=cfg.train.seed,
                          process_index=jax.process_index(),
                          process_count=jax.process_count())
-        # global batch = per-device batch x local devices
-        return ds.batches(cfg.train.batch_size * jax.local_device_count())
+        return ds.batches(gb)
 
     main_stream = make_stream(args.data_root)
     second = make_stream(args.second_data_root) if args.second_data_root else None
@@ -77,15 +100,101 @@ def main():
         third = StillsDataset(args.stills_root, cfg.train.image_size).batches(
             cfg.train.batch_size * jax.local_device_count())
         args.mead_every = args.stills_every
-    train_stream = InterleavedStream(
+    # background-thread prefetch so host sampling/augmentation overlaps device steps
+    # (the reference relies on torch DataLoader workers for this)
+    train_stream = Prefetcher(InterleavedStream(
         main_stream, second, third,
         sec_dataset_every=cfg.train.sec_dataset_every if second else 0,
-        mead_every=args.mead_every if third else 0)
+        mead_every=args.mead_every if third else 0), depth=2)
     test_stream = make_stream(args.data_root, split="test")
+
+    if args.stage2:
+        _train_stage2(cfg, args, train_stream)
+        return
 
     trainer = Trainer(cfg, train_stream, test_stream,
                       log_dir=args.log_dir, checkpoint_dir=args.checkpoint_dir)
     trainer.fit(epochs=args.epochs, iters_per_epoch=args.iters)
+
+
+def _train_stage2(cfg, args, train_stream):
+    """Stage-2 training loop: frozen stage-1 predictions -> enhancer + its own D
+    (reference models/stage_2/base/volumetric_avatar_two.py:589-780, train loop parity
+    with stage 1). The 512px ground truth is the stream's target frame; the stage-1
+    prediction is produced live from a frozen (optionally checkpointed) stage-1 model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emoportraits_tpu.models.discriminator import MultiScaleDiscriminator
+    from emoportraits_tpu.models.stage1 import VolumetricAvatar
+    from emoportraits_tpu.models.stage2 import Stage2Enhancer
+    from emoportraits_tpu.train.stage2_step import (
+        Stage2TrainState,
+        make_stage2_train_step,
+    )
+    from emoportraits_tpu.train.towers import build_loss_towers
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    s = cfg.train.image_size
+    b = cfg.train.batch_size * jax.local_device_count()
+    z = jnp.zeros((b, s, s, 3), jnp.float32)
+    m1 = jnp.ones((b, s, s, 1), jnp.float32)
+    th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+
+    model = VolumetricAvatar(cfg.model)
+    gen_vars = jax.jit(model.init)(key, z, m1, z, th, th)
+    if args.stage1_checkpoint:
+        from emoportraits_tpu.train.checkpoint import restore_params
+
+        gen_vars = {"params": restore_params(args.stage1_checkpoint,
+                                             gen_vars["params"]),
+                    "sn_state": gen_vars.get("sn_state", {})}
+
+    towers, _ = build_loss_towers(cfg, key, tiny=(s <= 64))
+    hp = jax.jit(lambda p, x: towers.head_pose_apply(p, x))
+    enc = jax.jit(lambda v, s_, mk, t: model.apply(v, s_, mk, t,
+                                                   method=model.encode_source))
+    drv = jax.jit(lambda v, st, d, t: model.apply(v, st, d, t,
+                                                  method=model.drive)[0])
+
+    s2cfg = cfg.stage2 if s >= cfg.stage2.image_size else \
+        type(cfg.stage2)(image_size=s, latent_size=max(s // 8, 8),
+                         latent_channels=16, latent_depth=4, num_channels=16,
+                         enc_channel_mult=1.0, dec_channel_mult=1.0,
+                         max_channels=64, dec_num_blocks=2,
+                         dec_feat_channels=(32, 32, 32, 32))
+    enh = Stage2Enhancer(s2cfg, use_ws=cfg.model.use_ws, use_sn=cfg.model.use_sn)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    enh_vars = jax.jit(enh.init)(key, z, m1)
+    dis_vars = jax.jit(dis.init)(key, z)
+
+    def enhancer_apply(variables, pred, mask):
+        return enh.apply(variables, pred, mask, mutable=["sn_state"])
+
+    state = Stage2TrainState.create(cfg, enh_vars, dis_vars)
+    step = jax.jit(make_stage2_train_step(
+        cfg, enhancer_apply, lambda v, img: dis.apply(v, img),
+        vgg19_apply=towers.vgg19_apply, vgg19_params=towers.vgg19_params))
+
+    iters = args.iters or cfg.train.train_epoch_len
+    epochs = args.epochs or 1
+    rng = jax.random.PRNGKey(1)
+    for epoch in range(epochs):
+        for i in range(iters):
+            hb = next(train_stream)
+            src = jnp.asarray(hb["source_img"])
+            tgt = jnp.asarray(hb["target_img"])
+            mask = jnp.asarray(hb.get("source_mask", np.ones_like(src[..., :1])))
+            avatar = enc(gen_vars, src, mask, hp(towers.head_pose_params, src))
+            pred = drv(gen_vars, avatar, tgt, hp(towers.head_pose_params, tgt))
+            batch = {"pred_target_img": pred, "target_img_ffhq": tgt,
+                     "face_mask": jnp.asarray(
+                         hb.get("target_mask", np.ones_like(tgt[..., :1])))}
+            rng, sk = jax.random.split(rng)
+            state, metrics = step(state, batch, sk)
+        print(f"stage2 epoch {epoch}: "
+              f"{ {k: round(float(v), 4) for k, v in metrics.items()} }")
 
 
 if __name__ == "__main__":
