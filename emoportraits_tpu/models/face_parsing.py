@@ -90,6 +90,28 @@ def _resize_to(x, h, w):
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="linear")
 
 
+def _resize_nearest(x, h, w):
+    """Context-path upsampling (reference repo uses F.interpolate mode='nearest')."""
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="nearest")
+
+
+def _resize_bilinear_align_corners(x, h, w):
+    """torch F.interpolate(..., mode='bilinear', align_corners=True): corner pixels
+    map exactly to corners (the final logits upsample of the reference BiSeNet)."""
+    H, W = x.shape[1], x.shape[2]
+    ys = jnp.linspace(0.0, H - 1.0, h) if h > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(0.0, W - 1.0, w) if w > 1 else jnp.zeros((1,))
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    fy = (ys - y0)[None, :, None, None].astype(x.dtype)
+    fx = (xs - x0)[None, None, :, None].astype(x.dtype)
+    top = x[:, y0][:, :, x0] * (1 - fx) + x[:, y0][:, :, x1] * fx
+    bot = x[:, y1][:, :, x0] * (1 - fx) + x[:, y1][:, :, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 class BiSeNet(nn.Module):
     n_classes: int = 19
 
@@ -106,17 +128,20 @@ class BiSeNet(nn.Module):
         avg_up = jnp.broadcast_to(avg, feat32.shape[:3] + (128,))
 
         feat32_arm = AttentionRefinement(128, name="arm32")(feat32) + avg_up
-        feat32_up = _resize_to(feat32_arm, feat16.shape[1], feat16.shape[2])
+        # context-path upsamples are NEAREST in the reference repo's model.py
+        feat32_up = _resize_nearest(feat32_arm, feat16.shape[1], feat16.shape[2])
         feat32_up = ConvBNReLU(128, name="conv_head32")(feat32_up)
 
         feat16_arm = AttentionRefinement(128, name="arm16")(feat16) + feat32_up
-        feat16_up = _resize_to(feat16_arm, feat8.shape[1], feat8.shape[2])
+        feat16_up = _resize_nearest(feat16_arm, feat8.shape[1], feat8.shape[2])
         feat16_up = ConvBNReLU(128, name="conv_head16")(feat16_up)
 
         fused = FeatureFusion(256, name="ffm")(feat8, feat16_up)
         out = ConvBNReLU(256, name="conv_out")(fused)
-        out = Conv(self.n_classes, (1, 1), name="conv_out_head")(out)
-        return _resize_to(out, h, w)
+        # BiSeNetOutput.conv_out: 1x1, bias=False; final upsample is bilinear with
+        # align_corners=True
+        out = Conv(self.n_classes, (1, 1), use_bias=False, name="conv_out_head")(out)
+        return _resize_bilinear_align_corners(out, h, w)
 
 
 def normalize_for_parsing(img: jax.Array) -> jax.Array:

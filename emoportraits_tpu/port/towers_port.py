@@ -1,0 +1,131 @@
+"""Porters for the frozen auxiliary towers: head-pose, BiSeNet face parser, LPIPS.
+
+Reference checkpoints these map (not present in this environment, so parity is proven
+against torch-built oracle nets with random weights in tests/test_towers_port.py):
+  * head-pose: `head_pose_regressor.pth` — a plain torchvision resnet18(num_classes=9)
+    state_dict (networks/volumetric_avatar/head_pose_regressor.py:14-16);
+  * face parser: `repos/face_par_off/res/cp/79999_iter.pth` — the zllrunning
+    face-parsing BiSeNet (ResNet-18 context path, ARMs, FFM, aux heads), loaded by
+    networks/volumetric_avatar/face_parcing.py:23-28;
+  * LPIPS: the pip `lpips` package's LPIPS(net='alex') state_dict (losses/lpips.py:10)
+    — torchvision AlexNet feature slices + per-layer 1x1 linear calibration heads.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+from .torch_port import Porter, conv2d_kernel, port_resnet, to_np
+
+
+def port_head_pose(state_dict: Dict[str, Any]):
+    """resnet18(num_classes=9) state_dict -> HeadPoseRegressor variables.
+
+    Our HeadPoseRegressor wraps the backbone under module name 'net'
+    (models/head_pose.py), so the ported tree is re-rooted there.
+    """
+    inner, manifest = port_resnet(state_dict, layers=(2, 2, 2, 2), block="basic")
+    variables = {"params": {"net": inner["params"]}}
+    if "batch_stats" in inner:
+        variables["batch_stats"] = {"net": inner["batch_stats"]}
+    return variables, manifest
+
+
+# ------------------------------------------------------------------ BiSeNet (face_par_off)
+
+def _port_cbr(p: Porter, key: str) -> Tuple[Dict, Dict]:
+    """ConvBNReLU `X.conv` + `X.bn` -> our flat {conv, bn_scale, bn_bias} params and
+    {mean, var} batch stats."""
+    params: Dict[str, Any] = {"conv": p.conv(f"{key}.conv")}
+    bn_p, bn_s = p.bn(f"{key}.bn")
+    params["bn_scale"] = bn_p.get("scale")
+    params["bn_bias"] = bn_p.get("bias")
+    return params, bn_s
+
+
+def _port_arm(p: Porter, key: str) -> Tuple[Dict, Dict]:
+    cbr_p, cbr_s = _port_cbr(p, f"{key}.conv")
+    params = {"conv": cbr_p, "conv_atten": p.conv(f"{key}.conv_atten")}
+    bn_p, bn_s = p.bn(f"{key}.bn_atten")
+    params["bn_atten_scale"] = bn_p.get("scale")
+    params["bn_atten_bias"] = bn_p.get("bias")
+    stats = {"conv": cbr_s,
+             "atten_mean": bn_s.get("mean"), "atten_var": bn_s.get("var")}
+    return params, stats
+
+
+def port_bisenet(state_dict: Dict[str, Any]):
+    """face_par_off BiSeNet (`79999_iter.pth` layout) -> our BiSeNet variables.
+
+    The checkpoint's auxiliary training heads (conv_out16/conv_out32, unused at
+    inference — the reference wrapper keeps only y[0], face_parcing.py:60) are consumed
+    and reported under manifest['aux_head_keys'] rather than ported.
+    """
+    p = Porter(state_dict)
+
+    # context-path ResNet-18 trunk: torchvision naming under 'cp.resnet.'
+    trunk_sd = {k: v for k, v in state_dict.items() if k.startswith("cp.resnet.")}
+    trunk, trunk_man = port_resnet(trunk_sd, layers=(2, 2, 2, 2), block="basic",
+                                   prefix="cp.resnet.")
+    p.used.update(set(trunk_sd) - set(trunk_man["unused_source_keys"]))
+    p.missing.extend(trunk_man["missing_target_keys"])
+
+    params: Dict[str, Any] = {"resnet": trunk["params"]}
+    stats: Dict[str, Any] = {"resnet": trunk.get("batch_stats", {})}
+
+    for ours, theirs in (("conv_avg", "cp.conv_avg"),
+                         ("conv_head32", "cp.conv_head32"),
+                         ("conv_head16", "cp.conv_head16")):
+        params[ours], stats[ours] = _port_cbr(p, theirs)
+    for ours, theirs in (("arm32", "cp.arm32"), ("arm16", "cp.arm16")):
+        params[ours], stats[ours] = _port_arm(p, theirs)
+
+    ffm_p: Dict[str, Any] = {}
+    ffm_p["convblk"], ffm_s = _port_cbr(p, "ffm.convblk")
+    ffm_p["conv1"] = p.conv("ffm.conv1")
+    ffm_p["conv2"] = p.conv("ffm.conv2")
+    params["ffm"] = ffm_p
+    stats["ffm"] = {"convblk": ffm_s}
+
+    params["conv_out"], stats["conv_out"] = _port_cbr(p, "conv_out.conv")
+    params["conv_out_head"] = p.conv("conv_out.conv_out")
+
+    aux: List[str] = []
+    for k in list(state_dict):
+        if k.startswith(("conv_out16.", "conv_out32.")):
+            p.used.add(k)
+            aux.append(k)
+    manifest = p.manifest()
+    manifest["aux_head_keys"] = sorted(aux)
+    return {"params": params, "batch_stats": stats}, manifest
+
+
+# ------------------------------------------------------------------------------ LPIPS
+
+# lpips alex slice layout: slice index -> (torchvision features index, our conv index)
+_LPIPS_SLICES = (("net.slice1.0", "conv0"), ("net.slice2.3", "conv1"),
+                 ("net.slice3.6", "conv2"), ("net.slice4.8", "conv3"),
+                 ("net.slice5.10", "conv4"))
+
+
+def port_lpips(state_dict: Dict[str, Any]):
+    """lpips.LPIPS(net='alex') state_dict -> our losses.lpips.LPIPS variables.
+
+    lin heads are 1x1 convs `lin{i}.model.1.weight` of shape (1, C, 1, 1) -> our (C,)
+    weight vectors. The scaling_layer shift/scale buffers are consumed (our module
+    carries them as constants matching the released values).
+    """
+    p = Porter(state_dict)
+    net: Dict[str, Any] = {}
+    for torch_key, ours in _LPIPS_SLICES:
+        net[ours] = p.conv(torch_key)
+    params: Dict[str, Any] = {"net": net}
+    for i in range(5):
+        w = p.take(f"lin{i}.model.1.weight")
+        if w is not None:
+            params[f"lin{i}"] = to_np(w).reshape(-1)
+    for k in ("scaling_layer.shift", "scaling_layer.scale"):
+        if k in p.sd:
+            p.used.add(k)
+    return {"params": params}, p.manifest()
