@@ -210,6 +210,17 @@ class LossWeights:
     l1_weight: float = 0.0
     stylegan: float = 1.0
     r1: float = 2.0
+    # second-discriminator gen-side multiplier (va_arguments.py:87, default 1.0)
+    mix_gen_adversarial: float = 1.0
+    # volume-rendering RGB supervision (va_arguments.py:225-231, defaults 0; loss
+    # assembly va_losses_and_visuals.py:245-256 at 64px)
+    l1_vol_rgb: float = 0.0
+    l1_vol_rgb_mix: float = 0.0
+    targ_vol_loss_scale: float = 0.0
+    # match_neutral losses (va_arguments.py:90,114 defaults 0; assembly
+    # va_losses_and_visuals.py:88-96)
+    neutral_expr_l1: float = 0.0
+    vgg19_neutral: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -248,6 +259,7 @@ class TrainConfig:
     predict_target_canon_vol: bool = True
     match_neutral: bool = False
     use_stylegan_d: bool = False
+    d_reg_every: int = 16        # lazy R1 cadence (va.py:1023-1046)
     logging_freq: int = 10
     visuals_freq: int = 200
     checkpoint_freq: int = 10
@@ -280,6 +292,9 @@ class ModelConfig:
     vpn_source: VPNResBlocksConfig = field(default_factory=VPNResBlocksConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    # second D judging pred_target (real) vs pred_mixing (fake) when use_mix_dis
+    # (reference dis_2_cfg, va_arguments.py:654-661: 64ch / 4 blocks / 2 scales)
+    discriminator2: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
     stylegan_d: StyleGAN2DConfig = field(default_factory=StyleGAN2DConfig)
     volume_renderer: VolumeRendererConfig = field(default_factory=VolumeRendererConfig)
     head_pose: HeadPoseConfig = field(default_factory=HeadPoseConfig)

@@ -75,6 +75,12 @@ class VolumetricAvatar(nn.Module):
         if m.pred_volume_num_blocks > 0:
             self.volume_pred_nw = VPNResBlocks(m.vpn_source, **sn)
         self.decoder_nw = Decoder(m.decoder, **sn)
+        if m.volume_rendering:
+            # EG3D-role importance renderer replacing the C-major collapse on the
+            # decoder input (reference va.py:157-158 construction, :586-589 use)
+            from .volume_renderer import VolumeRenderer
+
+            self.volume_renderer_nw = VolumeRenderer(m.volume_renderer)
         if m.use_back:
             from .background import BackgroundAdding, BackgroundEncoder, UNet2D
 
@@ -142,6 +148,19 @@ class VolumetricAvatar(nn.Module):
         b, d, h, w, c = vol.shape
         return jnp.transpose(vol, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
 
+    def _to_2d(self, vol: jax.Array, out: Optional[Dict[str, Any]] = None,
+               key: Optional[str] = None) -> jax.Array:
+        """Aligned 3D volume -> decoder input: the EG3D renderer when
+        cfg.volume_rendering (emitting `{key}_img_vol`/`{key}_depth_vol` for the
+        l1_vol_rgb losses, va.py:586-589), else the C-major collapse."""
+        if not self.cfg.volume_rendering:
+            return self._collapse(vol)
+        feat, rgb, depth = self.volume_renderer_nw(vol)
+        if out is not None and key is not None:
+            out[f"{key}_img_vol"] = rgb
+            out[f"{key}_depth_vol"] = depth
+        return feat
+
     # ------------------------------------------------------------- main forwards
 
     def generate(
@@ -207,7 +226,7 @@ class VolumetricAvatar(nn.Module):
         if self.cfg.pred_volume_num_blocks > 0:
             aligned = self.volume_pred_nw(aligned)
 
-        collapsed = self._collapse(aligned)
+        collapsed = self._to_2d(aligned, out, "pred_tar")
         if self.cfg.use_back:
             # background branch: encode the inverse-masked source and merge
             # (reference va.py:494-498, 579-584)
@@ -223,7 +242,7 @@ class VolumetricAvatar(nn.Module):
             # decode the UNWARPED canonical volume -> neutral face; its central-crop
             # expression vector is pulled to zero by the neutral losses
             # (reference match_neutral branch, va.py:595-614).
-            neutral_img, _ = self.decoder_nw(self._collapse(canonical), target_embed)
+            neutral_img, _ = self.decoder_nw(self._to_2d(canonical), target_embed)
             out["pred_neutral_img"] = neutral_img
             s4 = neutral_img.shape[1] // 4
             out["pred_neutral_img_aligned"] = neutral_img[:, s4:3 * s4, s4:3 * s4]
@@ -245,7 +264,8 @@ class VolumetricAvatar(nn.Module):
             mix_rot_warp = self.rotation_warp(mixing_theta, invert=False)
             mix_aligned = self._grid_sample(
                 self._grid_sample(canonical, mix_uv_warp), mix_rot_warp)
-            mix_img, _ = self.decoder_nw(self._collapse(mix_aligned), mix_embed)
+            mix_img, _ = self.decoder_nw(self._to_2d(mix_aligned, out, "pred_mixing"),
+                                         mix_embed)
             out["pred_mixing_img"] = mix_img
             out["rolled_pose_embed"] = rolled_embed
 
@@ -319,7 +339,7 @@ class VolumetricAvatar(nn.Module):
                 self._grid_sample(state.canonical_volume, uv_warp), rot_warp)
         if self.cfg.pred_volume_num_blocks > 0:
             aligned = self.volume_pred_nw(aligned)
-        img, img_f = self.decoder_nw(self._collapse(aligned), embed,
+        img, img_f = self.decoder_nw(self._to_2d(aligned), embed,
                                      stage_two=stage_two)
         return (img, img_f) if stage_two else (img, None)
 

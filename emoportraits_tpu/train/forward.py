@@ -114,6 +114,11 @@ def make_gen_apply(
         out["target_img_align_orig"] = align_face_crop(tgt, tgt_theta, gs)
         out["pred_target_img_face_align"] = align_face_crop(
             out["pred_target_img"], tgt_theta, gs)
+        if train_cfg.match_neutral:
+            # full-resolution theta-aligned prediction: the vgg19_neutral target
+            # (reference align_warp_full resample, va_losses_and_visuals.py:92-96)
+            out["target_img_full_align"] = align_face_crop(
+                out["pred_target_img"], tgt_theta, out["pred_target_img"].shape[1])
 
         # ---- mixing branch: matting + aligned crop + cycle re-embeds ----
         if train_cfg.pred_mixing:

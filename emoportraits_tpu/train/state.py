@@ -48,10 +48,20 @@ class TrainState:
     # EMA of generator params for serving (reference utils/weight_avg.py role);
     # None when cfg.train.ema_decay == 0.
     ema_params: Any = None
+    # Second discriminator (use_mix_dis, va.py:238): pred_target (real) vs
+    # pred_mixing (fake). Shares the dis optimizer hyperparameters (va.py:1105
+    # chains dis+dis2 params into one AdamW — per-parameter, so separate opt
+    # state is numerically identical).
+    dis2_params: Any = None
+    dis2_sn_state: Any = None
+    dis2_opt_state: Any = None
+    # StyleGAN2 discriminator (use_stylegan_d, va.py:241-247 + 1020-1046).
+    sg_params: Any = None
+    sg_opt_state: Any = None
 
     @classmethod
     def create(cls, cfg: ExperimentConfig, gen_variables, dis_variables,
-               batch_size: int) -> "TrainState":
+               batch_size: int, dis2_variables=None, sg_variables=None) -> "TrainState":
         gen_opt = make_optimizer(cfg.gen_opt)
         dis_opt = make_optimizer(cfg.dis_opt)
         gen_params = gen_variables["params"]
@@ -62,6 +72,15 @@ class TrainState:
         if getattr(cfg.train, "ema_decay", 0.0) > 0.0:
             from ..utils.ema import ema_init
             ema = ema_init(gen_params)
+        dis2_params = dis2_sn = dis2_opt_state = None
+        if dis2_variables is not None:
+            dis2_params = dis2_variables["params"]
+            dis2_sn = dis2_variables.get("sn_state", {})
+            dis2_opt_state = dis_opt.init(dis2_params)
+        sg_params = sg_opt_state = None
+        if sg_variables is not None:
+            sg_params = sg_variables["params"]
+            sg_opt_state = make_optimizer(cfg.dis_opt).init(sg_params)
         return cls(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params,
@@ -72,6 +91,11 @@ class TrainState:
             dis_opt_state=dis_opt.init(dis_params),
             prev_targets=prev,
             ema_params=ema,
+            dis2_params=dis2_params,
+            dis2_sn_state=dis2_sn,
+            dis2_opt_state=dis2_opt_state,
+            sg_params=sg_params,
+            sg_opt_state=sg_opt_state,
         )
 
 

@@ -80,6 +80,11 @@ def gen_losses(
     dis_params,
     towers: LossTowers,
     prev_targets: jax.Array,
+    dis2_apply: Optional[Callable] = None,
+    dis2_params=None,
+    sg_apply: Optional[Callable] = None,
+    sg_params=None,
+    step_count: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     w = cfg.weights
     losses: Dict[str, jax.Array] = {}
@@ -93,6 +98,22 @@ def gen_losses(
     losses["gen_adversarial"] = w.adversarial * adversarial_loss_gen(fake_scores)
     losses["feature_matching"] = w.feature_matching * feature_matching_loss(
         jax.tree.map(jax.lax.stop_gradient, real_feats), fake_feats)
+
+    # --- second discriminator on the MIXING image (use_mix_dis; gen side
+    #     va.py:948-950, weight va_losses_and_visuals.py:53-58) ---
+    if dis2_apply is not None and "pred_mixing_img" in out:
+        mix_scores, _ = dis2_apply(dis2_params, out["pred_mixing_img"])
+        losses["gen_adversarial_mix"] = (
+            w.adversarial * w.mix_gen_adversarial * adversarial_loss_gen(mix_scores))
+
+    # --- StyleGAN2 D nonsaturating G loss (use_stylegan_d, va.py:955-972) ---
+    if sg_apply is not None:
+        from ..losses.gan import g_nonsaturating_loss
+        g_style = g_nonsaturating_loss(sg_apply(sg_params, pred * 2.0 - 1.0))
+        if "pred_mixing_img" in out:
+            g_style = g_style + g_nonsaturating_loss(
+                sg_apply(sg_params, out["pred_mixing_img"] * 2.0 - 1.0))
+        losses["g_style"] = w.stylegan * g_style
 
     # --- perceptual towers ---
     if towers.vgg19_apply is not None and w.vgg19 > 0:
@@ -134,6 +155,38 @@ def gen_losses(
 
     if w.l1_weight > 0:
         losses["l1"] = w.l1_weight * jnp.mean(jnp.abs(pred - target))
+
+    # --- match_neutral losses (va_losses_and_visuals.py:88-96) ---
+    if w.neutral_expr_l1 > 0 and "pred_neutral_expr_vector" in out:
+        # pull the neutral face's expression vector to zero
+        losses["neutral_expr_l1"] = w.neutral_expr_l1 * jnp.mean(
+            jnp.abs(out["pred_neutral_expr_vector"]))
+    if (w.vgg19_neutral > 0 and "pred_neutral_img" in out
+            and "target_img_full_align" in out
+            and towers.vgg19_apply is not None):
+        # warmup-only (reference gates on epoch==0 and iteration<200): perceptual
+        # match of the neutral decode vs the theta-aligned prediction
+        gate = (step_count < 200).astype(pred.dtype) if step_count is not None else 1.0
+        losses["vgg19_neutral"] = w.vgg19_neutral * gate * perceptual_loss(
+            towers.vgg19_apply, towers.vgg19_params, out["pred_neutral_img"],
+            jax.lax.stop_gradient(out["target_img_full_align"]), num_scales=1)
+
+    # --- volume-rendering RGB supervision (volume_rendering=True; reference
+    #     va_losses_and_visuals.py:245-256: L1s at a 64px bilinear resize) ---
+    if "pred_tar_img_vol" in out and w.l1_vol_rgb > 0:
+        def rs64(img):
+            return jax.image.resize(img, (img.shape[0], 64, 64, 3), method="linear")
+
+        vol_rgb = rs64(out["pred_tar_img_vol"])
+        if w.targ_vol_loss_scale > 0:
+            losses["l1_vol_rgb_tar"] = (w.l1_vol_rgb / 2) * jnp.mean(
+                jnp.abs(vol_rgb - jax.lax.stop_gradient(rs64(target))))
+        losses["l1_vol_rgb"] = w.l1_vol_rgb * jnp.mean(
+            jnp.abs(vol_rgb - rs64(pred)))
+        if w.l1_vol_rgb_mix > 0 and "pred_mixing_img_vol" in out:
+            losses["l1_vol_rgb_mix"] = w.l1_vol_rgb * jnp.mean(
+                jnp.abs(rs64(out["pred_mixing_img_vol"])
+                        - rs64(out["pred_mixing_img"])))
 
     # --- canonical-volume self-supervision (predict_target_canon_vol, va.py:554-566;
     #     loss at va_losses_and_visuals.py:98-141) ---
@@ -198,6 +251,8 @@ def make_train_step(
     gen_apply: Callable,      # (variables, batch, rngs, prev_targets-aware) -> out dict
     dis_apply_raw: Callable,  # (variables, img) -> (scores, features)
     towers: LossTowers,
+    dis2_apply_raw: Optional[Callable] = None,  # second D (use_mix_dis)
+    sg_apply_raw: Optional[Callable] = None,    # StyleGAN2 D: img in [-1,1] -> score
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics). Jit/pjit-ready."""
     gen_opt = make_optimizer(cfg.gen_opt)
@@ -209,6 +264,8 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         metrics = {}
+        use_dis2 = dis2_apply_raw is not None and state.dis2_params is not None
+        use_sg = sg_apply_raw is not None and state.sg_params is not None
 
         # ---------------- generator pass ----------------
         def gen_loss_fn(gen_params):
@@ -217,7 +274,15 @@ def make_train_step(
             loss, losses = gen_losses(
                 cfg, out, batch,
                 lambda p, img: dis_apply((p, state.dis_sn_state), img),
-                state.dis_params, towers, state.prev_targets)
+                state.dis_params, towers, state.prev_targets,
+                dis2_apply=(lambda p, img: dis2_apply_raw(
+                    {"params": p, "sn_state": state.dis2_sn_state}, img))
+                if use_dis2 else None,
+                dis2_params=state.dis2_params,
+                sg_apply=(lambda p, img: sg_apply_raw({"params": p}, img))
+                if use_sg else None,
+                sg_params=state.sg_params,
+                step_count=state.step)
             return loss, (losses, out, new_sn)
 
         (gen_loss, (gen_losses_dict, out, new_gen_sn)), gen_grads = jax.value_and_grad(
@@ -244,6 +309,55 @@ def make_train_step(
             dis_grads, state.dis_opt_state, state.dis_params)
         dis_params = optax.apply_updates(state.dis_params, dis_updates)
 
+        # ---------------- second-discriminator pass (use_mix_dis) ----------------
+        # D2 separates the generator's own outputs: pred_target (real) vs
+        # pred_mixing (fake), both detached (reference va.py:1005-1008).
+        dis2_params, dis2_opt_state = state.dis2_params, state.dis2_opt_state
+        if use_dis2 and "pred_mixing_img" in out:
+            mix_detached = jax.lax.stop_gradient(out["pred_mixing_img"])
+
+            def dis2_loss_fn(p):
+                real_s, _ = dis2_apply_raw(
+                    {"params": p, "sn_state": state.dis2_sn_state}, pred_detached)
+                fake_s, _ = dis2_apply_raw(
+                    {"params": p, "sn_state": state.dis2_sn_state}, mix_detached)
+                return adversarial_loss_dis(real_s, fake_s)
+
+            dis2_loss, dis2_grads = jax.value_and_grad(dis2_loss_fn)(state.dis2_params)
+            d2_updates, dis2_opt_state = dis_opt.update(
+                dis2_grads, state.dis2_opt_state, state.dis2_params)
+            dis2_params = optax.apply_updates(state.dis2_params, d2_updates)
+            metrics["dis/adversarial_mix"] = dis2_loss
+
+        # ---------------- StyleGAN2-D pass (use_stylegan_d) ----------------
+        # d_logistic on [-1,1] images + mixing softplus + LAZY R1 every d_reg_every
+        # steps, scaled by d_reg_every*r1 (reference va.py:1020-1046).
+        sg_params, sg_opt_state = state.sg_params, state.sg_opt_state
+        if use_sg:
+            from ..losses.gan import d_logistic_loss, r1_penalty
+
+            def sg_loss_fn(p):
+                fake_p = sg_apply_raw({"params": p}, pred_detached * 2.0 - 1.0)
+                real_p = sg_apply_raw({"params": p}, target * 2.0 - 1.0)
+                loss = d_logistic_loss(real_p, fake_p)
+                if "pred_mixing_img" in out:
+                    mix_p = sg_apply_raw(
+                        {"params": p},
+                        jax.lax.stop_gradient(out["pred_mixing_img"]) * 2.0 - 1.0)
+                    loss = loss + jnp.mean(jax.nn.softplus(mix_p))
+                r1 = r1_penalty(
+                    lambda q, img: sg_apply_raw({"params": q}, img * 2.0 - 1.0),
+                    p, target)
+                reg_on = (state.step % cfg.train.d_reg_every == 0).astype(loss.dtype)
+                loss = loss + reg_on * cfg.train.d_reg_every * cfg.weights.r1 * r1
+                return loss
+
+            sg_loss, sg_grads = jax.value_and_grad(sg_loss_fn)(state.sg_params)
+            sgu, sg_opt_state = make_optimizer(cfg.dis_opt).update(
+                sg_grads, state.sg_opt_state, state.sg_params)
+            sg_params = optax.apply_updates(state.sg_params, sgu)
+            metrics["dis/style"] = sg_loss
+
         # ---------------- negatives queue ring update ----------------
         prev = state.prev_targets
         if prev is not None and "target_pose_embed" in out:
@@ -262,6 +376,10 @@ def make_train_step(
             dis_params=dis_params,
             dis_opt_state=dis_opt_state,
             prev_targets=prev,
+            dis2_params=dis2_params,
+            dis2_opt_state=dis2_opt_state,
+            sg_params=sg_params,
+            sg_opt_state=sg_opt_state,
         )
         if state.ema_params is not None:
             from ..utils.ema import ema_update

@@ -61,9 +61,19 @@ class Trainer:
         z = jnp.zeros((b, s, s, 3), jnp.float32)
         m1 = jnp.ones((b, s, s, 1), jnp.float32)
         th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        self.dis2 = (MultiScaleDiscriminator(cfg.model.discriminator2)
+                     if cfg.model.use_mix_dis else None)
+        self.sg_d = None
+        if cfg.train.use_stylegan_d:
+            from ..models.stylegan2_d import DiscriminatorStyleGAN2
+            self.sg_d = DiscriminatorStyleGAN2(cfg.model.stylegan_d)
         with jax.default_device(jax.devices("cpu")[0]):
             gen_vars = jax.jit(self.model.init)(key, z, m1, z, th, th)
             dis_vars = jax.jit(self.dis.init)(key, z)
+            dis2_vars = (jax.jit(self.dis2.init)(jax.random.fold_in(key, 2), z)
+                         if self.dis2 is not None else None)
+            sg_vars = (jax.jit(self.sg_d.init)(jax.random.fold_in(key, 3), z)
+                       if self.sg_d is not None else None)
             if towers is None:
                 towers, built_frozen = build_loss_towers(
                     cfg, key, tower_variables, tiny=tiny_towers)
@@ -74,13 +84,20 @@ class Trainer:
             cfg, self.model, towers.head_pose_apply, towers.head_pose_params,
             face_parsing=self.frozen_nets.face_parsing,
             matting=self.frozen_nets.matting)
+        self._gen_apply = jax.jit(gen_apply)  # also drives the debug-visuals grid
         dis_apply = lambda variables, img: self.dis.apply(variables, img)
 
         # global batch = per-device batch x all devices; each host's stream yields
         # global_b / process_count samples (shard_batch assembles the global array)
         global_b = b * jax.local_device_count() * jax.process_count()
-        self.state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=global_b)
-        step = make_train_step(cfg, gen_apply, dis_apply, towers)
+        self.state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=global_b,
+                                       dis2_variables=dis2_vars, sg_variables=sg_vars)
+        step = make_train_step(
+            cfg, gen_apply, dis_apply, towers,
+            dis2_apply_raw=(lambda v, img: self.dis2.apply(v, img))
+            if self.dis2 is not None else None,
+            sg_apply_raw=(lambda v, img: self.sg_d.apply(v, img))
+            if self.sg_d is not None else None)
 
         self.mesh = make_data_mesh(
             cfg.parallel.num_devices if cfg.parallel.num_devices > 1 else None,
@@ -268,28 +285,42 @@ class Trainer:
         return np.concatenate(vecs)
 
     def save_visuals(self, name: str = "eval") -> None:
-        """Source/target/prediction panel grid for one held-out batch (reference
-        get_visuals grids, va_losses_and_visuals.py:914-1054)."""
+        """Full debug panel grid for one held-out batch: every image-like output of
+        the TRAINING forward (prediction, mixing, refined masks, matting alpha,
+        aligned crops, volume-renderer rgb/depth) plus keypoint stickmen — the
+        reference's ~40-panel get_visuals grid (va_losses_and_visuals.py:914-1054)
+        built generically from the forward's out dict."""
         import numpy as np
 
         if self.test_stream is None or not self.logger.is_leader:
             return
-        if self._eval_drive is None:
-            self.evaluate(num_batches=0)
-        enc, drv, hp = self._eval_drive
-        variables = {"params": self.state.gen_params,
-                     "sn_state": self.state.gen_sn_state}
         batch = next(self.test_stream)
-        src = jnp.asarray(batch["source_img"], jnp.float32)
-        tgt = jnp.asarray(batch["target_img"], jnp.float32)
-        mask = jnp.asarray(batch.get("source_mask", np.ones_like(src[..., :1])))
-        st = enc(variables, src, mask, hp(self._hp_vars, src))
-        pred = drv(variables, st, tgt, hp(self._hp_vars, tgt))
-        from ..utils.visuals import make_visuals_grid
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out, _ = self._gen_apply(
+            {"params": self.state.gen_params, "sn_state": self.state.gen_sn_state},
+            jbatch, jax.random.PRNGKey(0))
+        from ..utils.visuals import draw_stickman_batch, make_visuals_grid
 
-        grid = make_visuals_grid({
-            "source": np.asarray(src), "target": np.asarray(tgt),
-            "pred": np.asarray(pred)})
+        panels: Dict[str, "np.ndarray"] = {
+            "source_img": np.asarray(jbatch["source_img"], np.float32),
+            "target_img": np.asarray(jbatch["target_img"], np.float32),
+        }
+        for key in sorted(out):
+            v = out[key]
+            if (hasattr(v, "ndim") and v.ndim == 4 and v.shape[-1] in (1, 3)
+                    and min(v.shape[1], v.shape[2]) >= 8):
+                a = np.asarray(v, np.float32)
+                if "depth" in key:  # normalize depth maps into [0,1] for display
+                    lo, hi = a.min(), a.max()
+                    a = (a - lo) / (hi - lo + 1e-8)
+                panels[key] = a
+        for kp_key, panel in (("source_keypoints", "source_stickman"),
+                              ("target_keypoints", "target_stickman")):
+            if kp_key in batch:
+                panels[panel] = draw_stickman_batch(
+                    np.asarray(batch[kp_key]),
+                    int(panels["target_img"].shape[1]))
+        grid = make_visuals_grid(panels)
         self.logger.log_image_grid(name, grid[None])
 
     def fit(self, epochs: Optional[int] = None, iters_per_epoch: Optional[int] = None):

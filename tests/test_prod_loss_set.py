@@ -174,6 +174,120 @@ def test_keypoint_aligned_canon_from_target(step_run):
     assert np.isfinite(np.asarray(out["canon_volume_from_target"])).all()
 
 
+def test_second_dis_and_stylegan_d_step():
+    """use_mix_dis + use_stylegan_d: the optional discriminators train inside the
+    jitted step (reference va.py:238-247 construction, :999-1046 D passes,
+    va_losses_and_visuals.py:33-58 loss assembly)."""
+    import dataclasses
+
+    from emoportraits_tpu.models.stylegan2_d import DiscriminatorStyleGAN2
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, use_mix_dis=True,
+            discriminator2=cfg.model.discriminator,
+            stylegan_d=dataclasses.replace(cfg.model.stylegan_d,
+                                           size=cfg.train.image_size)),
+        train=dataclasses.replace(cfg.train, use_stylegan_d=True, d_reg_every=2))
+    key = jax.random.PRNGKey(0)
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    dis2 = MultiScaleDiscriminator(cfg.model.discriminator2)
+    sg = DiscriminatorStyleGAN2(cfg.model.stylegan_d)
+
+    b, s = 2, cfg.train.image_size
+    rng = np.random.default_rng(7)
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_keypoints": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (b, 68, 2)).astype(np.float32)),
+    }
+    theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    gen_vars = model.init(key, batch["source_img"], batch["source_mask"],
+                          batch["target_img"], theta, theta)
+    dis_vars = dis.init(key, batch["target_img"])
+    dis2_vars = dis2.init(jax.random.fold_in(key, 2), batch["target_img"])
+    sg_vars = sg.init(jax.random.fold_in(key, 3), batch["target_img"])
+    towers, frozen = build_loss_towers(cfg, key, tiny=True)
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params,
+                               face_parsing=frozen.face_parsing,
+                               matting=frozen.matting)
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b,
+                              dis2_variables=dis2_vars, sg_variables=sg_vars)
+    step = jax.jit(make_train_step(
+        cfg, gen_apply, lambda v, img: dis.apply(v, img), towers,
+        dis2_apply_raw=lambda v, img: dis2.apply(v, img),
+        sg_apply_raw=lambda v, img: sg.apply(v, img)))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("gen/gen_adversarial_mix", "gen/g_style",
+              "dis/adversarial_mix", "dis/style"):
+        assert k in metrics, f"{k} missing"
+        assert np.isfinite(float(metrics[k])), f"{k} not finite"
+    # both optional discriminators actually stepped
+    d2_delta = jax.tree.reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b_: a - b_, new_state.dis2_params,
+                     state.dis2_params), 0.0)
+    sg_delta = jax.tree.reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b_: a - b_, new_state.sg_params, state.sg_params), 0.0)
+    assert d2_delta > 0 and sg_delta > 0
+
+
+def test_volume_rendering_branch_and_losses():
+    """volume_rendering=True: the EG3D renderer replaces the collapse on the decoder
+    input (va.py:586-589), emits pred_tar_img_vol/depth + mixing variants, and the
+    l1_vol_rgb losses fire (va_losses_and_visuals.py:245-256)."""
+    import dataclasses
+
+    cfg = tiny_config()
+    vr = dataclasses.replace(cfg.model.volume_renderer, depth_resolution=8,
+                             depth_resolution_importance=8, hidden_dim=16,
+                             features=8, squeeze_dim=8)
+    # decoder input channels = renderer feature dim (features * 4)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, volume_rendering=True, volume_renderer=vr,
+            decoder=dataclasses.replace(cfg.model.decoder, in_channels=vr.features * 4)),
+        weights=dataclasses.replace(cfg.weights, l1_vol_rgb=1.0, l1_vol_rgb_mix=1.0,
+                                    targ_vol_loss_scale=1.0))
+    key = jax.random.PRNGKey(0)
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    b, s = 2, cfg.train.image_size
+    rng = np.random.default_rng(11)
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_keypoints": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (b, 68, 2)).astype(np.float32)),
+    }
+    theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    gen_vars = model.init(key, batch["source_img"], batch["source_mask"],
+                          batch["target_img"], theta, theta)
+    dis_vars = dis.init(key, batch["target_img"])
+    towers, frozen = build_loss_towers(cfg, key, tiny=True)
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params,
+                               face_parsing=frozen.face_parsing,
+                               matting=frozen.matting)
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    step = jax.jit(make_train_step(
+        cfg, gen_apply, lambda v, img: dis.apply(v, img), towers))
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("gen/l1_vol_rgb", "gen/l1_vol_rgb_tar", "gen/l1_vol_rgb_mix"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+
+
 def test_ema_params_update():
     cfg = tiny_config()
     import dataclasses
