@@ -101,6 +101,113 @@ def port_bisenet(state_dict: Dict[str, Any]):
     return {"params": params, "batch_stats": stats}, manifest
 
 
+# ----------------------------------------------------------------------------- MODNet
+
+def _port_ibnr(p: Porter, key: str, channels: int):
+    """Conv2dIBNormRelu `X.layers.0` (conv) + `X.layers.1` (IBNorm) -> our
+    {conv, ibn/bnorm} params and stats. Heads without IBNorm just port the conv."""
+    params = {"conv": p.conv(f"{key}.layers.0")}
+    stats = {}
+    if f"{key}.layers.1.bnorm.weight" in p.sd:
+        bn_p, bn_s = p.bn(f"{key}.layers.1.bnorm")
+        params["ibn"] = {"bnorm": bn_p}
+        stats["ibn"] = {"bnorm": bn_s}
+    return params, stats
+
+
+def _port_inverted_residual(p: Porter, key: str):
+    """InvertedResidual `X.conv.{i}` Sequential -> conv_{i}/bn_{i+1}; convs sit at
+    Sequential indices 0, 3, 6 (ReLU6 at 2, 5; last conv has no trailing ReLU)."""
+    params, stats = {}, {}
+    i = 0
+    while f"{key}.conv.{i}.weight" in p.sd:
+        params[f"conv_{i}"] = {
+            "kernel": _dw_aware_kernel(to_np(p.take(f"{key}.conv.{i}.weight")))}
+        bn_p, bn_s = p.bn(f"{key}.conv.{i + 1}")
+        params[f"bn_{i + 1}"] = bn_p
+        stats[f"bn_{i + 1}"] = bn_s
+        i += 3
+    return params, stats
+
+
+def _dw_aware_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv weight (O, I/g, kH, kW) -> HWIO; depthwise keeps I/g=1."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def port_modnet(state_dict: Dict[str, Any]):
+    """MODNet `modnet_photographic_portrait_matting.ckpt` (module. prefix already
+    stripped, va_losses_and_visuals.py:1115-1121) -> our models.modnet.MODNet
+    variables. Training-only heads (lr_branch.conv_lr semantic head, hr_branch.conv_hr
+    detail head) are consumed and reported under manifest['aux_head_keys']."""
+    p = Porter(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(ours_path: Tuple[str, ...], pr, st):
+        d, s = params, stats
+        for seg in ours_path[:-1]:
+            d = d.setdefault(seg, {})
+            s = s.setdefault(seg, {})
+        d[ours_path[-1]] = pr
+        if st:
+            s[ours_path[-1]] = st
+
+    # ---- backbone (lr_branch.backbone.model.features.{0..18}) ----
+    bb = "lr_branch.backbone.model.features"
+    bb_params: Dict[str, Any] = {}
+    bb_stats: Dict[str, Any] = {}
+    for head, idx in (("features_0", 0), ("features_18", 18)):
+        bb_params[f"{head}_conv"] = {
+            "kernel": _dw_aware_kernel(to_np(p.take(f"{bb}.{idx}.0.weight")))}
+        bn_p, bn_s = p.bn(f"{bb}.{idx}.1")
+        bb_params[f"{head}_bn"] = bn_p
+        bb_stats[f"{head}_bn"] = bn_s
+    for idx in range(1, 18):
+        ir_p, ir_s = _port_inverted_residual(p, f"{bb}.{idx}")
+        bb_params[f"features_{idx}"] = ir_p
+        bb_stats[f"features_{idx}"] = ir_s
+    params["backbone"] = bb_params
+    stats["backbone"] = bb_stats
+
+    # ---- SE block (Linear fc.0 / fc.2, no bias) ----
+    params["se_block"] = {
+        "fc0": to_np(p.take("lr_branch.se_block.fc.0.weight")).T,
+        "fc1": to_np(p.take("lr_branch.se_block.fc.2.weight")).T,
+    }
+
+    # ---- LR / HR / fusion IBNorm conv stacks ----
+    singles = (("conv_lr16x", "lr_branch.conv_lr16x"),
+               ("conv_lr8x", "lr_branch.conv_lr8x"),
+               ("tohr_enc2x", "hr_branch.tohr_enc2x"),
+               ("conv_enc2x", "hr_branch.conv_enc2x"),
+               ("tohr_enc4x", "hr_branch.tohr_enc4x"),
+               ("conv_enc4x", "hr_branch.conv_enc4x"),
+               ("conv_lr4x", "f_branch.conv_lr4x"),
+               ("conv_f2x", "f_branch.conv_f2x"))
+    for ours, theirs in singles:
+        pr, st = _port_ibnr(p, theirs, 0)
+        put((ours,), pr, st)
+    for i in range(3):
+        pr, st = _port_ibnr(p, f"hr_branch.conv_hr4x.{i}", 0)
+        put((f"conv_hr4x_{i}",), pr, st)
+    for i in range(4):
+        pr, st = _port_ibnr(p, f"hr_branch.conv_hr2x.{i}", 0)
+        put((f"conv_hr2x_{i}",), pr, st)
+    for i in range(2):
+        pr, st = _port_ibnr(p, f"f_branch.conv_f.{i}", 0)
+        put((f"conv_f_{i}",), pr, st)
+
+    aux: List[str] = []
+    for k in list(state_dict):
+        if k.startswith(("lr_branch.conv_lr.", "hr_branch.conv_hr.")):
+            p.used.add(k)
+            aux.append(k)
+    manifest = p.manifest()
+    manifest["aux_head_keys"] = sorted(aux)
+    return {"params": params, "batch_stats": stats}, manifest
+
+
 # ------------------------------------------------------------------------------ LPIPS
 
 # lpips alex slice layout: slice index -> (torchvision features index, our conv index)

@@ -151,9 +151,18 @@ def build_loss_towers(
     # --- matting (MODNet role): mixing-image mask (va.py:682-684) ---
     matting = None
     if cfg.train.pred_mixing and cfg.train.use_mix_mask:
-        mt_net = MattingNet(base_channels=4 if tiny else 16,
-                            num_levels=2 if tiny else 4)
-        mt_params = variables.get("matting") or jax.jit(mt_net.init)(keys[6], init_img)
-        matting = (lambda p, img, _n=mt_net: _n.apply(p, img), mt_params)
+        if variables.get("modnet") is not None:
+            # ported real MODNet (models/modnet.py, exact checkpoint architecture)
+            from ..models.modnet import MODNet, modnet_matte
+
+            mn = MODNet()
+            matting = (lambda p, img, _n=mn: modnet_matte(_n.apply, p, img),
+                       variables["modnet"])
+        else:
+            mt_net = MattingNet(base_channels=4 if tiny else 16,
+                                num_levels=2 if tiny else 4)
+            mt_params = variables.get("matting") or jax.jit(mt_net.init)(
+                keys[6], init_img)
+            matting = (lambda p, img, _n=mt_net: _n.apply(p, img), mt_params)
 
     return LossTowers(**kw), FrozenNets(face_parsing=face_parsing, matting=matting)
