@@ -48,19 +48,38 @@ def gaze_loss(
     keypoints: jax.Array,
     layer_weights: Tuple[float, ...] = (0.03125, 0.0625, 0.125, 0.25, 1.0),
 ) -> jax.Array:
-    """L1 over gaze-tower features of both eye crops (reference GazeLoss.forward)."""
+    """L1 over gaze-tower features of both eye crops (reference GazeLoss.forward).
+
+    The released RT-GENE checkpoint (`vgg_16_2_forward_sum.pt`,
+    GazeEstimationModelVGG, rt_gaze_estimation_models.py:285-321) holds SEPARATE
+    plain-VGG16 towers for the left and right eye; features are tapped at Sequential
+    indices (1, 6, 11, 18, 25) == relu_{1..5}_1. Each eye contributes four terms
+    (estimate_gaze_pytorch.py:78-112): Left(left), Right(flip(left)), Right(right),
+    Left(flip(right)).
+
+    tower_params: either a single param tree (shared tower — tests/tiny mode) or
+    {'left': vars, 'right': vars} (ported checkpoint).
+    """
+    if isinstance(tower_params, dict) and "left" in tower_params:
+        p_left, p_right = tower_params["left"], tower_params["right"]
+    else:
+        p_left = p_right = tower_params
     loss = jnp.zeros(())
     names = tuple(f"relu_{i}_1" for i in range(1, len(layer_weights) + 1))
-    for idx in (LEFT_EYE, RIGHT_EYE):
+    for idx, own, other in ((LEFT_EYE, p_left, p_right),
+                            (RIGHT_EYE, p_right, p_left)):
         grid = eye_crop_grid(keypoints, idx)
         crop_p = grid_sample_2d(pred, grid.astype(pred.dtype), padding_mode="border")
         crop_t = grid_sample_2d(target, grid.astype(target.dtype),
                                 padding_mode="border")
-        fp = tower_apply(tower_params, crop_p)
-        ft = jax.lax.stop_gradient(tower_apply(tower_params, crop_t))
-        for name, w in zip(names, layer_weights):
-            loss = loss + w * jnp.mean(jnp.abs(fp[name] - ft[name]))
-    return loss / 2.0
+        for params, flip in ((own, False), (other, True)):
+            cp = crop_p[:, :, ::-1] if flip else crop_p
+            ct = crop_t[:, :, ::-1] if flip else crop_t
+            fp = tower_apply(params, cp)
+            ft = jax.lax.stop_gradient(tower_apply(params, ct))
+            for name, w in zip(names, layer_weights):
+                loss = loss + w * jnp.mean(jnp.abs(fp[name] - ft[name]))
+    return loss / 4.0
 
 
 def make_gaze_tower(rng: jax.Array, h: int = 36, w: int = 60):

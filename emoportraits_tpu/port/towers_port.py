@@ -101,6 +101,43 @@ def port_bisenet(state_dict: Dict[str, Any]):
     return {"params": params, "batch_stats": stats}, manifest
 
 
+# ----------------------------------------------------------------- RT-GENE gaze towers
+
+def port_gaze(state_dict: Dict[str, Any]):
+    """RT-GENE `vgg_16_2_forward_sum.pt` (GazeEstimationModelVGG,
+    rt_gaze_estimation_models.py:285-321) -> {'left', 'right'} VGGFeatures variables.
+
+    The checkpoint carries two full torchvision-vgg16 feature towers
+    (`left_features.{0..30}` / `right_features.{0..30}`); the gaze head
+    (xl/xr/concat/fc) is not used by the feature-matching loss and is consumed into
+    manifest['aux_head_keys'].
+    """
+    from ..losses.perceptual import VGG16_STAGES
+    from .torch_port import port_vgg_features
+
+    out: Dict[str, Any] = {}
+    manifest: Dict[str, Any] = {"unused_source_keys": [], "missing_target_keys": []}
+    consumed: set = set()
+    for side in ("left", "right"):
+        sub = {k: v for k, v in state_dict.items()
+               if k.startswith(f"{side}_features.")}
+        vars_, man = port_vgg_features(sub, VGG16_STAGES,
+                                       prefix=f"{side}_features.")
+        out[side] = vars_
+        consumed.update(set(sub) - set(man["unused_source_keys"]))
+        manifest["missing_target_keys"].extend(man["missing_target_keys"])
+    aux: List[str] = []
+    for k in state_dict:
+        if k.startswith(("xl.", "xr.", "concat.", "fc.")):
+            aux.append(k)
+        elif k not in consumed:
+            manifest["unused_source_keys"].append(k)
+    manifest["aux_head_keys"] = sorted(aux)
+    manifest["unused_source_keys"] = sorted(
+        set(manifest["unused_source_keys"]) - set(aux))
+    return out, manifest
+
+
 # ----------------------------------------------------------------------------- MODNet
 
 def _port_ibnr(p: Porter, key: str, channels: int):

@@ -101,7 +101,9 @@ def build_loss_towers(
         kw["vggface_params"] = variables.get("vggface") or jax.jit(vggface.init)(
             keys[2], init_img)
 
-    # --- gaze tower (RT-GENE role; losses/gaze.py eye crops are 36x60) ---
+    # --- gaze towers (RT-GENE; losses/gaze.py eye crops are 36x60). The released
+    #     checkpoint carries SEPARATE left/right VGG16 towers (port_gaze returns
+    #     {'left','right'}); random init shares one tower for both eyes. ---
     if w.gaze > 0:
         gaze_net = VGGFeatures(stages=_TINY_STAGES if tiny else VGG16_STAGES)
         kw["gaze_apply"] = gaze_net.apply

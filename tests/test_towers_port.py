@@ -183,6 +183,85 @@ def test_port_bisenet_parity():
                                atol=5e-4, rtol=1e-3)
 
 
+# ------------------------------------------------------------------- RT-GENE (gaze)
+
+_VGG16_PLAN = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+
+def _t_vgg16_features():
+    layers = []
+    cin = 3
+    for ch, n in _VGG16_PLAN:
+        for _ in range(n):
+            layers += [nn.Conv2d(cin, ch, 3, 1, 1), nn.ReLU(inplace=True)]
+            cin = ch
+        layers.append(nn.MaxPool2d(2, 2))
+    return nn.Sequential(*layers)
+
+
+class TGazeModelVGG(nn.Module):
+    """GazeEstimationModelVGG key anatomy: two torchvision-vgg16 feature towers +
+    unused gaze head (rt_gaze_estimation_models.py:285-321)."""
+
+    def __init__(self):
+        super().__init__()
+        self.left_features = _t_vgg16_features()
+        self.right_features = _t_vgg16_features()
+        self.xl = nn.Linear(512, 256)
+        self.xr = nn.Linear(512, 256)
+        self.concat = nn.Linear(512, 128)
+        self.fc = nn.Linear(128, 2)
+
+
+def test_port_gaze_parity():
+    from emoportraits_tpu.losses.perceptual import VGG16_STAGES, VGGFeatures
+    from emoportraits_tpu.port.towers_port import port_gaze
+
+    torch.manual_seed(4)
+    tnet = TGazeModelVGG().eval()
+    variables, man = port_gaze(tnet.state_dict())
+    assert not man["missing_target_keys"], man["missing_target_keys"][:5]
+    assert not man["unused_source_keys"], man["unused_source_keys"][:5]
+    assert man["aux_head_keys"]
+
+    rng = np.random.default_rng(4)
+    x = rng.random((2, 36, 60, 3)).astype(np.float32)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
+    net = VGGFeatures(stages=VGG16_STAGES)
+    # the loss taps Sequential indices (1, 6, 11, 18, 25) == relu_{1..5}_1
+    for side, tower in (("left", tnet.left_features), ("right", tnet.right_features)):
+        ours = net.apply(variables[side], jnp.asarray(x))
+        with torch.no_grad():
+            y = xt
+            taps = {}
+            for i, layer in enumerate(tower):
+                y = layer(y)
+                for si, idx in enumerate((1, 6, 11, 18, 25), start=1):
+                    if i == idx:
+                        taps[f"relu_{si}_1"] = y.numpy()
+        for name, ref in taps.items():
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(ours[name]), (0, 3, 1, 2)), ref,
+                atol=2e-4, rtol=1e-3, err_msg=f"{side}/{name}")
+
+
+def test_gaze_loss_left_right_params():
+    """gaze_loss accepts the ported {'left','right'} param form and the flip terms
+    change the result vs a single shared tower only via the tower choice."""
+    import jax
+    from emoportraits_tpu.losses.gaze import gaze_loss, make_gaze_tower
+
+    apply_fn, params = make_gaze_tower(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    pred = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    tgt = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    kp = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 68, 2)).astype(np.float32))
+    l_shared = gaze_loss(apply_fn, params, pred, tgt, kp)
+    l_pair = gaze_loss(apply_fn, {"left": params, "right": params}, pred, tgt, kp)
+    np.testing.assert_allclose(float(l_shared), float(l_pair), rtol=1e-6)
+    assert np.isfinite(float(l_shared)) and float(l_shared) > 0
+
+
 # ----------------------------------------------------------------------------- LPIPS
 
 _ALEX_TV = ((3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
