@@ -250,6 +250,8 @@ class TrainConfig:
     # mask refinement by the face parser happens in the input pipeline / dataset
     # (reference combines BiSeNet masks with dataset mattes on device, va.py:297-361)
     use_mix_mask: bool = True
+    # alternate ibug mask arithmetic (va.py:299-349; prod use_ibug_mask=False)
+    use_ibug_mask: bool = False
     green: bool = True               # green-screen background compositing
     sec_dataset_every: int = 4       # FEED batch-splicing cadence (train.py:233-249)
     mix_losses_start: int = 1

@@ -68,12 +68,32 @@ def make_gen_apply(
         # threshold 0.6 on the binary label mask). Frozen -> stop_gradient.
         if train_cfg.use_mix_mask and face_parsing is not None:
             fp_apply, fp_params = face_parsing
-            src_face = binary_face_mask(
-                jax.lax.stop_gradient(fp_apply(fp_params, src)))
-            tgt_face = binary_face_mask(
-                jax.lax.stop_gradient(fp_apply(fp_params, tgt)))
-            src_mask = src_mask * src_face.astype(src_mask.dtype)
-            tgt_mask = tgt_mask * tgt_face.astype(tgt_mask.dtype)
+            if train_cfg.use_ibug_mask:
+                # ibug-branch semantics (va.py:324-349; the in-env path — the external
+                # RTNet falls back to exactly this parser arithmetic): FACE+hat labels,
+                # plus the dataset matte with its bottom half zeroed, threshold 0.6,
+                # then AND with the dataset matte.
+                from ..models.face_parsing import BODY_LABELS, FACE_LABELS
+
+                def _ibug_refine(img, mask):
+                    logits = jax.lax.stop_gradient(fp_apply(fp_params, img))
+                    face = binary_face_mask(logits, labels_set=FACE_LABELS)
+                    hat = binary_face_mask(logits, labels_set=BODY_LABELS)
+                    lower_zeroed = mask * (
+                        jnp.arange(mask.shape[1])[None, :, None, None]
+                        < mask.shape[1] // 2)
+                    gate = ((face + hat + lower_zeroed) >= 0.6).astype(mask.dtype)
+                    return mask * gate
+
+                src_mask = _ibug_refine(src, src_mask)
+                tgt_mask = _ibug_refine(tgt, tgt_mask)
+            else:
+                src_face = binary_face_mask(
+                    jax.lax.stop_gradient(fp_apply(fp_params, src)))
+                tgt_face = binary_face_mask(
+                    jax.lax.stop_gradient(fp_apply(fp_params, tgt)))
+                src_mask = src_mask * src_face.astype(src_mask.dtype)
+                tgt_mask = tgt_mask * tgt_face.astype(tgt_mask.dtype)
 
         # Frozen head pose (reference va.py:375-378, under no_grad).
         hp = lambda img: head_pose_apply(head_pose_params, jax.lax.stop_gradient(img),

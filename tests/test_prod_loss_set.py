@@ -130,6 +130,36 @@ def test_mask_refinement_and_matting_outputs(step_run):
     assert out["target_img_align_orig"].shape[1:3] == (gs, gs)
 
 
+def test_ibug_mask_refinement(step_run):
+    """use_ibug_mask=True switches the refinement to the ibug-branch arithmetic
+    (va.py:324-349): FACE+hat labels + lower-half-zeroed matte, threshold 0.6."""
+    import dataclasses
+
+    cfg, model, state, *_ = step_run
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train,
+                                                             use_ibug_mask=True))
+    towers, frozen = build_loss_towers(cfg, jax.random.PRNGKey(0), tiny=True)
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params,
+                               face_parsing=frozen.face_parsing,
+                               matting=frozen.matting)
+    rng = np.random.default_rng(13)
+    b, s = 2, cfg.train.image_size
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_mask": jnp.ones((b, s, s, 1), jnp.float32),
+    }
+    out, _ = gen_apply({"params": state.gen_params,
+                        "sn_state": state.gen_sn_state}, batch,
+                       jax.random.PRNGKey(2))
+    m = np.asarray(out["refined_target_mask"])
+    assert m.shape == (b, s, s, 1)
+    assert set(np.unique(m)).issubset({0.0, 1.0})  # hard threshold
+    assert m.max() <= 1.0 and (m <= np.asarray(batch["target_mask"])).all()
+
+
 def test_binary_face_mask_refinement_semantics():
     """Labels outside MASK_LABELS (e.g. background=0) zero the mask; labels inside
     keep it (reference va.py:352-361 threshold-0.6 binary AND)."""
