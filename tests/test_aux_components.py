@@ -38,6 +38,7 @@ def test_lpips_zero_self_and_positive_other():
     assert cross_d > self_d
 
 
+@pytest.mark.slow  # compile-heavy: excluded from the quick loop
 def test_gaze_loss_runs():
     apply_fn, params = make_gaze_tower(KEY)
     rng = np.random.default_rng(1)
@@ -118,6 +119,7 @@ def test_background_path_modules():
     assert merge.apply(p, fg, bg).shape == (1, 16, 16, 32)
 
 
+@pytest.mark.slow  # compile-heavy: excluded from the quick loop
 def test_stage1_use_back_and_use_tensor():
     import dataclasses
 

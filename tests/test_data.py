@@ -82,3 +82,17 @@ def test_prefetcher_passthrough():
     vals = [next(pf)["x"][0] for _ in range(5)]
     assert vals == [0, 1, 2, 3, 4]
     pf.close()
+
+
+def test_train_test_split_disjoint(tmp_path):
+    """Split discipline: the test split must hold out clips the train split never
+    sees (guards the eval loop against train/test leakage)."""
+    root = str(tmp_path / "store")
+    make_synthetic_store(root, num_clips=12, frames_per_clip=4, image_size=32)
+    train = ShardedClipStore(root, split="train")
+    test = ShardedClipStore(root, split="test")
+    train_keys = {(c.shard_path, c.clip_key) for c in train.clips}
+    test_keys = {(c.shard_path, c.clip_key) for c in test.clips}
+    assert test_keys, "synthetic store must produce a nonempty test split"
+    assert not (train_keys & test_keys), "train/test clips overlap"
+    assert len(train_keys) + len(test_keys) == 12

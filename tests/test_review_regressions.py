@@ -43,6 +43,7 @@ def test_green_compositing_applies_to_target_only():
     np.testing.assert_allclose(np.asarray(pred_seen), np.asarray(pred), atol=1e-6)
 
 
+@pytest.mark.slow  # compile-heavy: excluded from the quick loop
 def test_warp_aug_drives_expression_embeds():
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
 

@@ -1,6 +1,7 @@
 """upfirdn2d golden tests vs the reference's own python fallback semantics (implemented
 in torch here), plus StyleGAN2 discriminator shape tests."""
 import math
+import pytest
 
 import numpy as np
 import torch
@@ -91,6 +92,7 @@ def test_minibatch_stddev():
     assert float(jnp.std(y[..., -1])) < 1e-6
 
 
+@pytest.mark.slow  # compile-heavy: excluded from the quick loop
 def test_stylegan2_discriminator_shapes():
     cfg = StyleGAN2DConfig(size=64, channel_multiplier=1)
     d = DiscriminatorStyleGAN2(cfg)

@@ -249,9 +249,13 @@ def test_gaze_loss_left_right_params():
     """gaze_loss accepts the ported {'left','right'} param form and the flip terms
     change the result vs a single shared tower only via the tower choice."""
     import jax
-    from emoportraits_tpu.losses.gaze import gaze_loss, make_gaze_tower
+    from emoportraits_tpu.losses.gaze import gaze_loss
+    from emoportraits_tpu.losses.perceptual import VGGFeatures
 
-    apply_fn, params = make_gaze_tower(jax.random.PRNGKey(0))
+    # tiny 5-stage tower: same relu_{i}_1 interface, ~instant compile
+    tower = VGGFeatures(stages=((1, 4),) * 5)
+    params = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 36, 60, 3)))
+    apply_fn = tower.apply
     rng = np.random.default_rng(5)
     pred = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
     tgt = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
@@ -349,3 +353,24 @@ def test_port_lpips_parity():
     ours = LPIPS()
     out = float(ours.apply(variables, jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(out, t_out, rtol=1e-4, atol=1e-5)
+
+
+def test_port_cli_roundtrip(tmp_path):
+    """End-to-end CLI: torch .pth on disk -> ported .npz + manifest; the saved tree
+    reloads and reproduces the net output."""
+    import jax
+    from emoportraits_tpu.models.head_pose import HeadPoseRegressor
+    from emoportraits_tpu.port.cli import load_ported, main
+
+    torch.manual_seed(9)
+    tnet = TResNet((2, 2, 2, 2), "basic", num_classes=9).eval()
+    ckpt = str(tmp_path / "head_pose_regressor.pth")
+    # DataParallel-style prefix must be stripped by the CLI
+    torch.save({f"module.{k}": v for k, v in tnet.state_dict().items()}, ckpt)
+    out_dir = str(tmp_path / "ported")
+    assert main(["head_pose", ckpt, out_dir]) == 0
+    variables = load_ported(out_dir + "/head_pose.npz")
+    x = np.random.default_rng(9).random((1, 128, 128, 3)).astype(np.float32)
+    theta = HeadPoseRegressor().apply(jax.tree.map(jnp.asarray, variables),
+                                      jnp.asarray(x))
+    assert np.isfinite(np.asarray(theta)).all()
