@@ -414,3 +414,149 @@ def tiny_config() -> ExperimentConfig:
         ),
         train=TrainConfig(batch_size=2, image_size=64, aug_warp_size=64),
     )
+
+
+# --------------------------------------------------------------- reference args.txt
+
+def _str2bool(v: str) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+# reference flag -> (dotted config path, converter). Paths are relative to the root
+# ExperimentConfig; converters run on the raw string token.
+_REF_ARG_MAP = {
+    "image_size": [("train.image_size", int), ("model.local_encoder.input_image_size", int),
+                   ("model.expression_embedder.image_size", int),
+                   ("model.decoder.image_size", int)],
+    "aug_warp_size": [("train.aug_warp_size", int)],
+    "batch_size": [("train.batch_size", int)],
+    "test_batch_size": [("train.test_batch_size", int)],
+    "max_epochs": [("train.max_epochs", int)],
+    "train_epoch_len": [("train.train_epoch_len", int)],
+    "test_epoch_len": [("train.test_epoch_len", int)],
+    "latent_volume_channels": [("model.volume.channels", int)],
+    "gen_latent_texture_channels": [("model.volume.channels", int)],
+    "latent_volume_depth": [("model.volume.depth", int)],
+    "gen_latent_texture_depth": [("model.volume.depth", int)],
+    "latent_volume_size": [("model.volume.size", int)],
+    "gen_latent_texture_size": [("model.volume.size", int)],
+    "lpe_output_channels_expression": [
+        ("model.expression_embedder.output_channels", int),
+        ("model.expression_dim", int)],
+    "exp_dropout": [("model.expression_embedder.dropout", float)],
+    "enc_channel_mult": [("model.local_encoder.channel_mult", float)],
+    "dec_channel_mult": [("model.decoder.channel_mult", float)],
+    "dec_max_channels": [("model.decoder.max_channels", int)],
+    "dec_num_blocks": [("model.decoder.num_blocks", int)],
+    "im_dec_num_lrs_per_resolution": [("model.decoder.num_lrs_per_resolution", int)],
+    "im_dec_ch_div_factor": [("model.decoder.ch_div_factor", float)],
+    "gen_dummy_input_size": [("model.warp_generator.dummy_input_size", int),
+                             ("model.unet3d.dummy_input_size", int)],
+    "gen_embed_size": [("model.embed_size", int)],
+    "gen_max_channels": [("model.max_channels", int)],
+    "source_volume_num_blocks": [("model.source_volume_num_blocks", int)],
+    "pred_volume_num_blocks": [("model.pred_volume_num_blocks", int)],
+    "volume_rendering": [("model.volume_rendering", _str2bool)],
+    "use_back": [("model.use_back", _str2bool)],
+    "use_tensor": [("model.use_tensor", _str2bool)],
+    "use_mix_dis": [("model.use_mix_dis", _str2bool)],
+    "use_ws": [("model.use_ws", _str2bool)],
+    "use_sn": [("model.use_sn", _str2bool)],
+    "grid_sample_padding_mode": [("model.grid_sample_padding_mode", str)],
+    "dis_num_scales": [("model.discriminator.num_scales", int)],
+    "dis_num_blocks": [("model.discriminator.num_blocks", int)],
+    "dis2_num_scales": [("model.discriminator2.num_scales", int)],
+    "dis2_num_blocks": [("model.discriminator2.num_blocks", int)],
+    "dis2_num_channels": [("model.discriminator2.min_channels", int)],
+    "use_seg": [("train.use_seg", _str2bool)],
+    "green": [("train.green", _str2bool)],
+    "use_mix_mask": [("train.use_mix_mask", _str2bool)],
+    "use_ibug_mask": [("train.use_ibug_mask", _str2bool)],
+    "use_stylegan_d": [("train.use_stylegan_d", _str2bool)],
+    "d_reg_every": [("train.d_reg_every", int)],
+    "match_neutral": [("train.match_neutral", _str2bool)],
+    "predict_target_canon_vol": [("train.predict_target_canon_vol", _str2bool)],
+    "sec_dataset_every": [("train.sec_dataset_every", int)],
+    "num_b_negs": [("train.num_b_negs", int)],
+    "mix_losses_start": [("train.mix_losses_start", int)],
+    "contr_losses_start": [("train.contr_losses_start", int)],
+    "logging_freq": [("train.logging_freq", int)],
+    "visuals_freq": [("train.visuals_freq", int)],
+    "checkpoint_freq": [("train.checkpoint_freq", int)],
+    "gen_opt_type": [("gen_opt.opt_type", str)],
+    "dis_opt_type": [("dis_opt.opt_type", str)],
+    "gen_beta1": [("gen_opt.beta1", float)],
+    "dis_beta1": [("dis_opt.beta1", float)],
+    "gen_lr": [("gen_opt.lr", float)],
+    "dis_lr": [("dis_opt.lr", float)],
+    "gen_shd_max_iters": [("gen_opt.shd_max_iters", int)],
+    "dis_shd_max_iters": [("dis_opt.shd_max_iters", int)],
+    # loss weights (va_arguments.py:364-410 naming)
+    "adversarial_weight": [("weights.adversarial", float)],
+    "feature_matching_weight": [("weights.feature_matching", float)],
+    "vgg19_weight": [("weights.vgg19", float)],
+    "vgg19_face": [("weights.vgg19_face", float)],
+    "gaze_weight": [("weights.gaze", float)],
+    "resnet18_fv_mix": [("weights.resnet18_fv_mix", float)],
+    "pull_exp": [("weights.pull_exp", float)],
+    "push_exp": [("weights.push_exp", float)],
+    "stm": [("weights.stm", float)],
+    "contrastive_exp": [("weights.contrastive_exp", float)],
+    "w_eyes_loss_l1": [("weights.eyes_l1", float)],
+    "w_mouth_loss_l1": [("weights.mouth_l1", float)],
+    "w_ears_loss_l1": [("weights.ears_l1", float)],
+    "volumes_l1": [("weights.volumes_l1", float)],
+    "l1_weight": [("weights.l1_weight", float)],
+    "stylegan_weight": [("weights.stylegan", float)],
+    "r1": [("weights.r1", float)],
+    "mix_gen_adversarial": [("weights.mix_gen_adversarial", float)],
+    "l1_vol_rgb": [("weights.l1_vol_rgb", float)],
+    "l1_vol_rgb_mix": [("weights.l1_vol_rgb_mix", float)],
+    "neu_exp_l1": [("weights.neutral_expr_l1", float)],
+    "vgg19_neutral": [("weights.vgg19_neutral", float)],
+    "experiment_name": [("experiment_name", str)],
+}
+
+
+def _replace_path(cfg: "ExperimentConfig", dotted: str, value):
+    parts = dotted.split(".")
+
+    def rec(node, i):
+        if i == len(parts) - 1:
+            return dataclasses.replace(node, **{parts[i]: value})
+        child = getattr(node, parts[i])
+        return dataclasses.replace(node, **{parts[i]: rec(child, i + 1)})
+
+    return rec(cfg, 0)
+
+
+def from_reference_args(text_or_path: str):
+    """Build an ExperimentConfig from a reference `args.txt` command line
+    (the snapshot saved next to every reference checkpoint — utils/args.py:34-65;
+    e.g. /root/reference/experiments/args.txt). Returns (config, unknown_flags):
+    flags with no counterpart here are collected, not errors, mirroring the
+    reference's tolerant re-parse."""
+    import os
+
+    text = text_or_path
+    if os.path.exists(text_or_path):
+        with open(text_or_path) as f:
+            text = f.read()
+    tokens = text.split()
+    cfg = ExperimentConfig()
+    unknown = {}
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        if not tok.startswith("--"):
+            i += 1
+            continue
+        name = tok[2:]
+        value = tokens[i + 1] if i + 1 < len(tokens) else ""
+        i += 2
+        if name in _REF_ARG_MAP:
+            for dotted, conv in _REF_ARG_MAP[name]:
+                cfg = _replace_path(cfg, dotted, conv(value))
+        else:
+            unknown[name] = value
+    return cfg, unknown

@@ -1,0 +1,75 @@
+"""from_reference_args: build our config from a reference args.txt snapshot, and
+point-transform roundtrips (geometry/point_transforms.py)."""
+import numpy as np
+import pytest
+
+from emoportraits_tpu.config import ExperimentConfig, from_reference_args
+
+REF_ARGS = "/root/reference/experiments/args.txt"
+
+
+def test_reference_args_txt_matches_prod_defaults():
+    import os
+
+    if not os.path.exists(REF_ARGS):
+        pytest.skip("reference args.txt not present")
+    cfg, unknown = from_reference_args(REF_ARGS)
+    d = ExperimentConfig()  # our defaults claim to BE the prod run
+    assert cfg.train.image_size == d.train.image_size == 512
+    assert cfg.model.volume.channels == d.model.volume.channels == 96
+    assert cfg.model.expression_dim == d.model.expression_dim == 128
+    assert cfg.weights.vgg19 == 18 and cfg.weights.gaze == 10
+    assert cfg.weights.eyes_l1 == cfg.weights.mouth_l1 == cfg.weights.ears_l1 == 500
+    assert cfg.weights.resnet18_fv_mix == 35 and cfg.weights.feature_matching == 40
+    assert cfg.train.use_mix_mask and cfg.train.green and not cfg.train.use_stylegan_d
+    assert cfg.model.discriminator.num_scales == 2
+    assert cfg.model.decoder.num_blocks == 6 and cfg.model.decoder.channel_mult == 2
+    assert cfg.model.local_encoder.channel_mult == 4
+    assert cfg.gen_opt.opt_type == "adamw" and cfg.gen_opt.beta1 == 0.5
+    assert cfg.gen_opt.shd_max_iters == 400_000
+    assert cfg.train.sec_dataset_every == 4
+    # flags we deliberately don't consume stay visible, not silently dropped
+    assert "dataset_name" in unknown
+
+
+def test_from_reference_args_overrides():
+    cfg, unknown = from_reference_args(
+        "--image_size 256 --latent_volume_channels 64 --use_stylegan_d True "
+        "--w_eyes_loss_l1 100 --bogus_flag 7")
+    assert cfg.train.image_size == 256
+    assert cfg.model.local_encoder.input_image_size == 256
+    assert cfg.model.volume.channels == 64
+    assert cfg.train.use_stylegan_d is True
+    assert cfg.weights.eyes_l1 == 100
+    assert unknown == {"bogus_flag": "7"}
+
+
+def test_point_transforms_roundtrip():
+    from emoportraits_tpu.geometry.point_transforms import (
+        camera_to_world,
+        parse_3dmm_param,
+        world_to_camera,
+    )
+
+    rng = np.random.default_rng(0)
+    rot, off, shp, exp = parse_3dmm_param(rng.random(62).astype(np.float32))
+    assert rot.shape == (3, 3) and off.shape == (3, 1)
+    assert shp.shape == (40, 1) and exp.shape == (10, 1)
+
+    b, n = 3, 68
+    # well-conditioned random camera params
+    q, _ = np.linalg.qr(rng.standard_normal((b, 3, 3)))
+    params = {
+        "R": q + 0.1 * np.eye(3),
+        "offset": rng.standard_normal((b, 3, 1)),
+        "roi_box": np.abs(rng.standard_normal((b, 1, 4))) + [[[0, 0, 100, 100]]],
+        "size": np.full((b, 1, 1), 256.0),
+        "crop_box": np.array([[[0.1, 0.1, 0.9, 0.9]]] * b),
+    }
+    pts = rng.standard_normal((b, n, 3)) * 1e-4
+    back = camera_to_world(world_to_camera(pts, params), params)
+    # the reference's camera_to_world deliberately does NOT undo the +0.5 z shift
+    # that world_to_camera applies (point_transforms.py:54 vs :149-151) — the
+    # roundtrip contract is identity plus that constant z offset
+    expected = pts + np.array([0.0, 0.0, 0.5])
+    np.testing.assert_allclose(back, expected, rtol=1e-6, atol=1e-9)
