@@ -91,21 +91,26 @@ def bench_train():
                                face_parsing=frozen.face_parsing,
                                matting=frozen.matting)
     state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    from emoportraits_tpu.train.step import tower_params_pytree
+
+    tp = tower_params_pytree(towers, frozen)
     step = jax.jit(make_train_step(
         cfg, gen_apply, lambda v, img: dis.apply(v, img), towers),
         donate_argnums=(0,))
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
     batch = jax.device_put(batch, dev)
-    lowered = step.lower(state, batch, jax.random.PRNGKey(1))
+    tp = jax.device_put(tp, dev)
+    # tower params as a runtime ARG: keeps the frozen weights out of the program
+    lowered = step.lower(state, batch, jax.random.PRNGKey(1), tp)
     compiled = lowered.compile()
     flops = _cost_flops(compiled)
-    state, metrics = compiled(state, batch, jax.random.PRNGKey(1))
+    state, metrics = compiled(state, batch, jax.random.PRNGKey(1), tp)
     jax.block_until_ready(metrics)
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
-        state, metrics = compiled(state, batch, jax.random.PRNGKey(i))
+        state, metrics = compiled(state, batch, jax.random.PRNGKey(i), tp)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / n
     peak = PEAK_FLOPS["bf16" if bf16 else "f32"]

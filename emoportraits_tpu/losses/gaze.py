@@ -64,21 +64,33 @@ def gaze_loss(
         p_left, p_right = tower_params["left"], tower_params["right"]
     else:
         p_left = p_right = tower_params
-    loss = jnp.zeros(())
     names = tuple(f"relu_{i}_1" for i in range(1, len(layer_weights) + 1))
-    for idx, own, other in ((LEFT_EYE, p_left, p_right),
-                            (RIGHT_EYE, p_right, p_left)):
+    b = pred.shape[0]
+
+    crops = {}
+    for key, idx in (("left", LEFT_EYE), ("right", RIGHT_EYE)):
         grid = eye_crop_grid(keypoints, idx)
-        crop_p = grid_sample_2d(pred, grid.astype(pred.dtype), padding_mode="border")
-        crop_t = grid_sample_2d(target, grid.astype(target.dtype),
-                                padding_mode="border")
-        for params, flip in ((own, False), (other, True)):
-            cp = crop_p[:, :, ::-1] if flip else crop_p
-            ct = crop_t[:, :, ::-1] if flip else crop_t
-            fp = tower_apply(params, cp)
-            ft = jax.lax.stop_gradient(tower_apply(params, ct))
-            for name, w in zip(names, layer_weights):
-                loss = loss + w * jnp.mean(jnp.abs(fp[name] - ft[name]))
+        crops[key] = (
+            grid_sample_2d(pred, grid.astype(pred.dtype), padding_mode="border"),
+            grid_sample_2d(target, grid.astype(target.dtype), padding_mode="border"))
+
+    # ONE tower call per eye-tower on the stacked 4B batch (pred, target, and the
+    # flipped opposite eye's pred, target) — the left tower sees left crops plus
+    # flipped right crops and vice versa, exactly the reference's four terms, at a
+    # quarter of the program size.
+    loss = jnp.zeros(())
+    for params, own, other in ((p_left, "left", "right"),
+                               (p_right, "right", "left")):
+        op, ot = crops[own]
+        fp_, ft_ = crops[other]
+        stacked = jnp.concatenate([op, ot, fp_[:, :, ::-1], ft_[:, :, ::-1]], axis=0)
+        feats = tower_apply(params, stacked)
+        for name, w in zip(names, layer_weights):
+            f = feats[name]
+            fp_own, ft_own = f[:b], jax.lax.stop_gradient(f[b:2 * b])
+            fp_fl, ft_fl = f[2 * b:3 * b], jax.lax.stop_gradient(f[3 * b:])
+            loss = loss + w * (jnp.mean(jnp.abs(fp_own - ft_own))
+                               + jnp.mean(jnp.abs(fp_fl - ft_fl)))
     return loss / 4.0
 
 

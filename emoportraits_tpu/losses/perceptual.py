@@ -102,12 +102,17 @@ def perceptual_loss(
                                     method="linear")
         pred, target = rs(pred), rs(target)
 
+    b = pred.shape[0]
     loss = 0.0
     for scale in range(num_scales):
-        pf = tower_apply(tower_params, pred)
-        tf = jax.lax.stop_gradient(tower_apply(tower_params, target))
+        # ONE tower call per scale on the stacked [pred; target] batch: halves the
+        # program size (the 512px prod step was hitting compile-payload limits with
+        # per-image instantiation) and keeps the MXU matmuls twice as large. The
+        # target half is stop-gradiented after the split — identical math.
+        feats = tower_apply(tower_params, jnp.concatenate([pred, target], axis=0))
         for name, w in zip(layers, layer_weights):
-            loss = loss + w * jnp.mean(jnp.abs(pf[name] - tf[name]))
+            pf, tf = feats[name][:b], jax.lax.stop_gradient(feats[name][b:])
+            loss = loss + w * jnp.mean(jnp.abs(pf - tf))
         if scale != num_scales - 1:
             pred, target = _resize_half(pred), _resize_half(target)
     return loss / num_scales

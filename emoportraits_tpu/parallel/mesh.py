@@ -57,15 +57,21 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), state)
 
 
-def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "data"):
+def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "data",
+                            with_tower_params: bool = False):
     """jit the train step with explicit shardings: batch split over `data`, state
-    replicated. AD of the mean loss inserts the cross-device psum automatically."""
+    replicated. AD of the mean loss inserts the cross-device psum automatically.
+
+    with_tower_params: the step takes the frozen-tower param pytree as a 4th,
+    replicated argument (step.tower_params_pytree) — keeping the frozen weights out
+    of the compiled program instead of inlined as constants."""
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis)
 
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, repl),
+        in_shardings=(repl, data, repl, repl) if with_tower_params
+        else (repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

@@ -59,7 +59,14 @@ def make_gen_apply(
 ):
     train_cfg = cfg.train
 
-    def gen_apply(variables: Dict, batch: Dict[str, jax.Array], rng: jax.Array):
+    def gen_apply(variables: Dict, batch: Dict[str, jax.Array], rng: jax.Array,
+                  aux_params: Optional[Dict[str, Any]] = None):
+        """aux_params: optional runtime overrides for the frozen-net params
+        ('head_pose_params', 'face_parsing_params', 'matting_params') — passed
+        through train_step so the frozen weights are jit ARGUMENTS, not closure
+        constants inlined into the HLO (see step.tower_params_pytree)."""
+        aux = aux_params or {}
+        hp_params = aux.get("head_pose_params", head_pose_params)
         src, tgt = batch["source_img"], batch["target_img"]
         src_mask = batch.get("source_mask", jnp.ones_like(src[..., :1]))
         tgt_mask = batch.get("target_mask", jnp.ones_like(tgt[..., :1]))
@@ -68,6 +75,7 @@ def make_gen_apply(
         # threshold 0.6 on the binary label mask). Frozen -> stop_gradient.
         if train_cfg.use_mix_mask and face_parsing is not None:
             fp_apply, fp_params = face_parsing
+            fp_params = aux.get("face_parsing_params", fp_params)
             if train_cfg.use_ibug_mask:
                 # ibug-branch semantics (va.py:324-349; the in-env path — the external
                 # RTNet falls back to exactly this parser arithmetic): FACE+hat labels,
@@ -96,7 +104,7 @@ def make_gen_apply(
                 tgt_mask = tgt_mask * tgt_face.astype(tgt_mask.dtype)
 
         # Frozen head pose (reference va.py:375-378, under no_grad).
-        hp = lambda img: head_pose_apply(head_pose_params, jax.lax.stop_gradient(img),
+        hp = lambda img: head_pose_apply(hp_params, jax.lax.stop_gradient(img),
                                          return_srt=True)
         src_theta, src_scale, src_rot, src_tr = jax.tree.map(jax.lax.stop_gradient,
                                                              hp(src))
@@ -144,7 +152,7 @@ def make_gen_apply(
         if train_cfg.pred_mixing:
             pred_img = out["pred_target_img"]
             pred_theta = jax.lax.stop_gradient(
-                head_pose_apply(head_pose_params, jax.lax.stop_gradient(pred_img),
+                head_pose_apply(hp_params, jax.lax.stop_gradient(pred_img),
                                 return_srt=False))
             out["pred_cycle_exp"] = model.apply(
                 frozen, pred_img, pred_theta, method=model.expression_vector)
@@ -153,11 +161,12 @@ def make_gen_apply(
             if matting is not None:
                 # frozen matting of the generated mixing image (va.py:682-684)
                 mt_apply, mt_params = matting
+                mt_params = aux.get("matting_params", mt_params)
                 mix_alpha = jax.lax.stop_gradient(mt_apply(mt_params, mix_img))
                 out["pred_mixing_mask"] = mix_alpha
                 out["pred_mixing_masked_img"] = mix_img * mix_alpha
             mix_theta_pred = jax.lax.stop_gradient(
-                head_pose_apply(head_pose_params, jax.lax.stop_gradient(mix_img),
+                head_pose_apply(hp_params, jax.lax.stop_gradient(mix_img),
                                 return_srt=False))
             # fv_mix crop: UNROLLED mixing image under its own regressed theta
             # (va.py:693-707 data_dict_exp pass -> mixing_img_align)

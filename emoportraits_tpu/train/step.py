@@ -58,6 +58,23 @@ class LossTowers(NamedTuple):
     face_parsing_params: Any = None
 
 
+# LossTowers fields that hold parameter PYTREES (vs apply fns). These can be passed
+# to train_step as a runtime argument instead of being closed over: closure constants
+# are inlined into the HLO as literals, and the frozen towers sum to hundreds of MB —
+# big enough to blow past compile-payload limits and bloat the compilation cache.
+TOWER_PARAM_FIELDS = ("vgg19_params", "vggface_params", "head_pose_params",
+                      "gaze_params", "face_vector_params", "face_parsing_params")
+
+
+def tower_params_pytree(towers: "LossTowers", frozen_nets=None) -> Dict[str, Any]:
+    """The frozen-tower parameter pytree to pass as train_step's 4th argument.
+    `frozen_nets` (train.towers.FrozenNets) contributes the matting params."""
+    tp = {f: getattr(towers, f) for f in TOWER_PARAM_FIELDS}
+    if frozen_nets is not None and getattr(frozen_nets, "matting", None) is not None:
+        tp["matting_params"] = frozen_nets.matting[1]
+    return tp
+
+
 def composite_target(cfg: ExperimentConfig, target: jax.Array,
                      mask: Optional[jax.Array]) -> jax.Array:
     """Masked/green-composited TARGET (reference va.py:617-632: the dataset target is
@@ -262,19 +279,33 @@ def make_train_step(
         params, sn = params_and_sn
         return dis_apply_raw({"params": params, "sn_state": sn}, img)
 
-    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+    fns_only = towers._replace(**{f: None for f in TOWER_PARAM_FIELDS})
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,
+                   tower_params: Optional[Dict[str, Any]] = None):
+        """tower_params: optional frozen-tower param pytree (tower_params_pytree).
+        Passing it keeps the hundreds of MB of frozen weights OUT of the compiled
+        program (they arrive as device buffers); omitting it falls back to closure
+        constants (fine for tiny test towers)."""
         metrics = {}
         use_dis2 = dis2_apply_raw is not None and state.dis2_params is not None
         use_sg = sg_apply_raw is not None and state.sg_params is not None
+        if tower_params is None:
+            run_towers = towers
+        else:
+            run_towers = fns_only._replace(
+                **{f: tower_params[f] for f in TOWER_PARAM_FIELDS
+                   if tower_params.get(f) is not None})
 
         # ---------------- generator pass ----------------
         def gen_loss_fn(gen_params):
             out, new_sn = gen_apply(
-                {"params": gen_params, "sn_state": state.gen_sn_state}, batch, rng)
+                {"params": gen_params, "sn_state": state.gen_sn_state}, batch, rng,
+                aux_params=tower_params)
             loss, losses = gen_losses(
                 cfg, out, batch,
                 lambda p, img: dis_apply((p, state.dis_sn_state), img),
-                state.dis_params, towers, state.prev_targets,
+                state.dis_params, run_towers, state.prev_targets,
                 dis2_apply=(lambda p, img: dis2_apply_raw(
                     {"params": p, "sn_state": state.dis2_sn_state}, img))
                 if use_dis2 else None,

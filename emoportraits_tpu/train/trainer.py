@@ -102,8 +102,14 @@ class Trainer:
         self.mesh = make_data_mesh(
             cfg.parallel.num_devices if cfg.parallel.num_devices > 1 else None,
             axis=cfg.parallel.data_axis)
-        self.sharded_step = make_sharded_train_step(step, self.mesh)
+        self.sharded_step = make_sharded_train_step(step, self.mesh,
+                                                    with_tower_params=True)
         self.state = replicate_state(self.state, self.mesh)
+        # frozen-tower weights ride as a replicated ARGUMENT (not HLO constants):
+        # the 512px prod program with inlined towers exceeds compile-payload limits
+        from .step import tower_params_pytree
+        self._tower_params = replicate_state(
+            tower_params_pytree(towers, self.frozen_nets), self.mesh)
 
         self.logger = MetricsLogger(log_dir, cfg.train.logging_freq,
                                     experiment_name=cfg.experiment_name)
@@ -145,7 +151,8 @@ class Trainer:
             batch = shard_batch(
                 {k: jnp.asarray(v) for k, v in host_batch.items()}, self.mesh)
             rng, step_rng = jax.random.split(rng)
-            self.state, metrics = self.sharded_step(self.state, batch, step_rng)
+            self.state, metrics = self.sharded_step(self.state, batch, step_rng,
+                                                    self._tower_params)
             flushed = self.logger.log(metrics)
             if flushed:
                 last = flushed
