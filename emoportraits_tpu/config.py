@@ -279,6 +279,9 @@ class ParallelConfig:
     (replaces reference NCCL DDP, train.py:66,182-187)."""
     data_axis: str = "data"
     num_devices: int = 1
+    # FSDP/ZeRO-3-style parameter+optimizer sharding over the data axis (GSPMD
+    # all-gather/reduce-scatter inserted by XLA); off = plain replicated DP
+    fsdp: bool = False
 
 
 @dataclass(frozen=True)

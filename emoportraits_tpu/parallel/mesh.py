@@ -57,21 +57,58 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), state)
 
 
+def _leaf_sharding(mesh: Mesh, x, axis: str, min_bytes: int = 1 << 16):
+    """FSDP rule for one array: shard the largest axis-divisible dim over `axis`;
+    small or indivisible leaves stay replicated."""
+    if not hasattr(x, "shape") or x.ndim == 0:
+        return replicated(mesh)
+    n = mesh.shape[axis]
+    itemsize = getattr(getattr(x, "dtype", None), "itemsize", 4)
+    if x.size * itemsize < min_bytes:
+        return replicated(mesh)
+    for d in sorted(range(x.ndim), key=lambda i: x.shape[i], reverse=True):
+        if x.shape[d] % n == 0:
+            spec = [None] * x.ndim
+            spec[d] = axis
+            return NamedSharding(mesh, P(*spec))
+    return replicated(mesh)
+
+
+def fsdp_state_sharding(mesh: Mesh, state: Any, axis: str = "data") -> Any:
+    """Sharding pytree for a TrainState under FSDP-style parameter sharding.
+
+    Every large parameter / optimizer-moment leaf is sharded over the data axis
+    (ZeRO-3 semantics): XLA's GSPMD inserts the all-gathers before each use and
+    reduce-scatters the gradients from the output shardings — the TPU-native way to
+    scale past per-chip HBM without hand-written collectives. The reference has no
+    counterpart (its DDP replicates everything and hard-caps at 8 GPUs,
+    train.py:66-71,182-187)."""
+    return jax.tree.map(lambda x: _leaf_sharding(mesh, x, axis), state)
+
+
+def shard_state_fsdp(state: Any, mesh: Mesh, axis: str = "data") -> Any:
+    sh = fsdp_state_sharding(mesh, state, axis)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, sh)
+
+
 def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "data",
-                            with_tower_params: bool = False):
+                            with_tower_params: bool = False,
+                            state_sharding=None):
     """jit the train step with explicit shardings: batch split over `data`, state
-    replicated. AD of the mean loss inserts the cross-device psum automatically.
+    replicated (or FSDP-sharded via `state_sharding=fsdp_state_sharding(...)`).
+    AD of the mean loss inserts the cross-device psum automatically.
 
     with_tower_params: the step takes the frozen-tower param pytree as a 4th,
     replicated argument (step.tower_params_pytree) — keeping the frozen weights out
     of the compiled program instead of inlined as constants."""
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis)
+    st = state_sharding if state_sharding is not None else repl
 
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, repl, repl) if with_tower_params
-        else (repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st, data, repl, repl) if with_tower_params
+        else (st, data, repl),
+        out_shardings=(st, repl),
         donate_argnums=(0,),
     )

@@ -102,9 +102,19 @@ class Trainer:
         self.mesh = make_data_mesh(
             cfg.parallel.num_devices if cfg.parallel.num_devices > 1 else None,
             axis=cfg.parallel.data_axis)
+        state_sharding = None
+        if cfg.parallel.fsdp:
+            from ..parallel.mesh import fsdp_state_sharding
+            state_sharding = fsdp_state_sharding(self.mesh, self.state,
+                                                 cfg.parallel.data_axis)
         self.sharded_step = make_sharded_train_step(step, self.mesh,
-                                                    with_tower_params=True)
-        self.state = replicate_state(self.state, self.mesh)
+                                                    with_tower_params=True,
+                                                    state_sharding=state_sharding)
+        if state_sharding is not None:
+            self.state = jax.tree.map(lambda x, s: jax.device_put(x, s),
+                                      self.state, state_sharding)
+        else:
+            self.state = replicate_state(self.state, self.mesh)
         # frozen-tower weights ride as a replicated ARGUMENT (not HLO constants):
         # the 512px prod program with inlined towers exceeds compile-payload limits
         from .step import tower_params_pytree
