@@ -27,14 +27,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: repeat bench runs skip the multi-minute 512px compile
-try:
-    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# BENCH_CACHE=1 enables the persistent compilation cache (skips the multi-minute
+# 512px compile on repeat runs). OFF by default: executables deserialized from the
+# cache have produced unsynchronized sub-ms call timings through the axon relay —
+# only freshly-compiled programs time honestly here.
+if os.environ.get("BENCH_CACHE"):
+    try:
+        _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 # v5e peak: ~197 TFLOP/s bf16, ~98.5 TFLOP/s fp32 (public spec)
 PEAK_FLOPS = {"bf16": 197e12, "f32": 98.5e12}
@@ -102,18 +106,18 @@ def bench_train():
     state = jax.device_put(state, dev)
     batch = jax.device_put(batch, dev)
     tp = jax.device_put(tp, dev)
-    # tower params as a runtime ARG: keeps the frozen weights out of the program
-    lowered = step.lower(state, batch, jax.random.PRNGKey(1), tp)
-    compiled = lowered.compile()
-    flops = _cost_flops(compiled)
-    state, metrics = compiled(state, batch, jax.random.PRNGKey(1), tp)
+    # tower params as a runtime ARG: keeps the frozen weights out of the program.
+    # Timing goes through the plain jit call path; cost analysis AFTER timing
+    # (an AOT compile can poison subsequent call timing through the relay).
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), tp)
     jax.block_until_ready(metrics)
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
-        state, metrics = compiled(state, batch, jax.random.PRNGKey(i), tp)
+        state, metrics = step(state, batch, jax.random.PRNGKey(i), tp)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / n
+    flops = _cost_flops(step.lower(state, batch, jax.random.PRNGKey(1), tp).compile())
     peak = PEAK_FLOPS["bf16" if bf16 else "f32"]
     print(json.dumps({
         "metric": "train_step_512px_per_chip",
@@ -126,12 +130,62 @@ def bench_train():
     }))
 
 
+def bench_stage2():
+    """Stage-2 enhancer forward at 512px (BENCH_STAGE2=1): the refinement cost to add
+    on top of the stage-1 drive when serving the cascade."""
+    from emoportraits_tpu.config import ExperimentConfig
+    from emoportraits_tpu.models.stage2 import Stage2Enhancer
+
+    cfg = ExperimentConfig()
+    bf16 = "bf16" in os.environ.get("BENCH_MODE", "fused_bf16")
+    b = int(os.environ.get("BENCH_BATCH", "1"))
+    s = cfg.stage2.image_size
+    enh = Stage2Enhancer(cfg.stage2)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.random((b, s, s, 3), np.float32), dt)
+    mask = jnp.ones((b, s, s, 1), dt)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(enh.init)(jax.random.PRNGKey(0), pred, mask)
+    if bf16:
+        variables = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                                 if x.dtype == jnp.float32 else x, variables)
+    dev = jax.devices()[0]
+    variables, pred, mask = jax.device_put((variables, pred, mask), dev)
+    # Time through the plain jit call path, and only run the cost-analysis
+    # lower().compile() AFTER the timing loop: on the axon relay an AOT-compiled
+    # executable makes subsequent same-input calls return in ~0.1 ms without
+    # synchronizing, which reads as absurd fps.
+    fn = jax.jit(enh.apply)
+    out = fn(variables, pred, mask)
+    float(out.sum())  # host readback = hard sync
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(variables, pred, mask)
+    float(out.sum())  # host readback on top of block_until_ready semantics
+    dt_s = (time.perf_counter() - t0) / n
+    flops = _cost_flops(fn.lower(variables, pred, mask).compile())
+    peak = PEAK_FLOPS["bf16" if bf16 else "f32"]
+    print(json.dumps({
+        "metric": "stage2_enhance_fps_512px_per_chip",
+        "value": round(b / dt_s, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(b / dt_s / 30.0, 3),
+        "ms_per_frame": round(dt_s * 1e3 / b, 2),
+        "step_tflops": round(flops / 1e12, 3),
+        "mfu": round(flops / dt_s / peak, 4),
+    }))
+
+
 def main():
     from emoportraits_tpu.config import ExperimentConfig
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
 
     if os.environ.get("BENCH_TRAIN"):
         return bench_train()
+    if os.environ.get("BENCH_STAGE2"):
+        return bench_stage2()
 
     mode = os.environ.get("BENCH_MODE", "fused_bf16")
     batch = int(os.environ.get("BENCH_BATCH", "1"))
@@ -170,18 +224,18 @@ def main():
 
     state = enc(variables, src, mask, theta)
     jax.block_until_ready(state)
-    lowered = drv_fn.lower(variables, state, drv, theta)
-    compiled = lowered.compile()
-    flops = _cost_flops(compiled)
-    img = compiled(variables, state, drv, theta)
-    img.block_until_ready()
+    # cost analysis runs AFTER timing (see bench_stage2 note: an AOT compile can
+    # poison subsequent same-input call timing through the relay)
+    img = drv_fn(variables, state, drv, theta)
+    float(img.sum())  # host readback = hard sync
 
     n = 50
     t0 = time.perf_counter()
     for _ in range(n):
-        img = compiled(variables, state, drv, theta)
-    img.block_until_ready()
+        img = drv_fn(variables, state, drv, theta)
+    float(img.sum())  # host readback on top of block_until_ready semantics
     dt = (time.perf_counter() - t0) / n
+    flops = _cost_flops(drv_fn.lower(variables, state, drv, theta).compile())
     fps = batch / dt
     peak = PEAK_FLOPS["bf16" if dtype == jnp.bfloat16 else "f32"]
 

@@ -42,6 +42,11 @@ def main():
                         "(reference models/stage_2, volumetric_avatar_two.py)")
     p.add_argument("--stage1-checkpoint", type=str, default=None,
                    help="orbax checkpoint dir of the frozen stage-1 model (--stage2)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params+optimizer state over the data mesh "
+                        "(ZeRO-3 semantics; default: replicated DP)")
+    p.add_argument("--ref-args", type=str, default=None,
+                   help="build the config from a reference args.txt snapshot")
     args = p.parse_args()
 
     from emoportraits_tpu.config import ExperimentConfig, tiny_config
@@ -55,10 +60,22 @@ def main():
 
     if args.config:
         cfg = ExperimentConfig.from_json(args.config)
+    elif args.ref_args:
+        from emoportraits_tpu.config import from_reference_args
+
+        cfg, unknown = from_reference_args(args.ref_args)
+        if unknown:
+            print(f"ref-args: {len(unknown)} flags without a counterpart "
+                  f"(e.g. {sorted(unknown)[:5]})")
     elif args.tiny:
         cfg = tiny_config()
     else:
         cfg = ExperimentConfig()
+    if args.fsdp:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, parallel=dataclasses.replace(cfg.parallel, fsdp=True))
 
     import jax
 
