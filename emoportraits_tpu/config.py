@@ -263,6 +263,8 @@ class TrainConfig:
     use_stylegan_d: bool = False
     d_reg_every: int = 16        # lazy R1 cadence (va.py:1023-1046)
     logging_freq: int = 10
+    # display-only renormalization of logged losses (prod --normalize_losses True)
+    normalize_losses: bool = True
     visuals_freq: int = 200
     checkpoint_freq: int = 10
     latest_checkpoint_freq: int = 1
@@ -484,6 +486,7 @@ _REF_ARG_MAP = {
     "mix_losses_start": [("train.mix_losses_start", int)],
     "contr_losses_start": [("train.contr_losses_start", int)],
     "logging_freq": [("train.logging_freq", int)],
+    "normalize_losses": [("train.normalize_losses", _str2bool)],
     "visuals_freq": [("train.visuals_freq", int)],
     "checkpoint_freq": [("train.checkpoint_freq", int)],
     "gen_opt_type": [("gen_opt.opt_type", str)],

@@ -94,3 +94,25 @@ class MetricsLogger:
     def load_state_dict(self, d: Dict[str, int]) -> None:
         self.iteration = int(d.get("iteration", 0))
         self.epoch = int(d.get("epoch", 0))
+
+
+def normalize_losses_for_display(metrics, weights) -> dict:
+    """Display-only renormalization of logged losses (reference --normalize_losses,
+    prod True; train.py:262-288): divides the heavily-weighted terms by
+    weight/constant so the dashboard curves share a scale. Training totals are
+    untouched — this runs on the HOST copy right before logging."""
+    out = dict(metrics)
+    rules = (
+        ("gen/eyes_l1", weights.eyes_l1 / 100.0),
+        ("gen/mouth_l1", weights.mouth_l1 / 100.0),
+        ("gen/ears_l1", weights.ears_l1 / 100.0),
+        ("gen/vgg19_face", weights.vgg19_face / 4.0),
+        ("gen/pull_exp", weights.pull_exp / 0.5),
+        ("gen/push_exp", weights.push_exp / 0.5),
+        ("gen/resnet18_fv_mix", weights.resnet18_fv_mix / 35.0),
+        ("gen/volumes_l1", weights.volumes_l1),
+    )
+    for key, div in rules:
+        if key in out and div:
+            out[key] = out[key] / div
+    return out

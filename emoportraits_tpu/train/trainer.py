@@ -163,6 +163,9 @@ class Trainer:
             rng, step_rng = jax.random.split(rng)
             self.state, metrics = self.sharded_step(self.state, batch, step_rng,
                                                     self._tower_params)
+            if self.cfg.train.normalize_losses:
+                from .logger import normalize_losses_for_display
+                metrics = normalize_losses_for_display(metrics, self.cfg.weights)
             flushed = self.logger.log(metrics)
             if flushed:
                 last = flushed

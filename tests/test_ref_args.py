@@ -73,3 +73,16 @@ def test_point_transforms_roundtrip():
     # roundtrip contract is identity plus that constant z offset
     expected = pts + np.array([0.0, 0.0, 0.5])
     np.testing.assert_allclose(back, expected, rtol=1e-6, atol=1e-9)
+
+
+def test_normalize_losses_for_display():
+    from emoportraits_tpu.config import LossWeights
+    from emoportraits_tpu.train.logger import normalize_losses_for_display
+
+    w = LossWeights()
+    m = {"gen/eyes_l1": 500.0, "gen/vgg19_face": 10.0, "gen/total": 188.0}
+    out = normalize_losses_for_display(m, w)
+    assert out["gen/eyes_l1"] == 500.0 / (w.eyes_l1 / 100.0) == 100.0
+    assert out["gen/vgg19_face"] == 10.0 / (w.vgg19_face / 4.0) == 4.0
+    assert out["gen/total"] == 188.0  # totals untouched
+    assert m["gen/eyes_l1"] == 500.0  # input dict untouched
