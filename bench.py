@@ -178,6 +178,52 @@ def bench_stage2():
     }))
 
 
+def bench_wrapper():
+    """End-user serving path (BENCH_WRAPPER=1): InferenceWrapper.forward_frame on
+    uint8 frames — the fused one-dispatch program (pose estimate + momentum + drive
+    + 8-bit quantize). CAVEAT: through this machine's axon relay, multi-program
+    processes show erratic per-call latencies (0.03s-3s for identical code) — the
+    relay appears to reload executables when programs alternate. The drive bench
+    (default mode) is the headline; this mode is for real (non-tunneled) TPU hosts."""
+    from emoportraits_tpu.config import ExperimentConfig
+    from emoportraits_tpu.infer.wrapper import InferenceWrapper
+    from emoportraits_tpu.models.head_pose import HeadPoseRegressor
+    from emoportraits_tpu.models.stage1 import VolumetricAvatar
+
+    cfg = ExperimentConfig()
+    model = VolumetricAvatar(cfg.model)
+    s = cfg.train.image_size
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((1, s, s, 3), jnp.float32)
+    m1 = jnp.ones((1, s, s, 1), jnp.float32)
+    th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (1, 4, 4))
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(model.init)(key, z, m1, z, th, th)
+        hp_vars = jax.jit(HeadPoseRegressor().init)(key, z)
+    if "bf16" in os.environ.get("BENCH_MODE", "fused_bf16"):
+        cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+        variables = jax.tree.map(cast, variables)
+    w = InferenceWrapper(cfg, variables, head_pose_variables=hp_vars,
+                         theta_momentum=0.5)
+    rng = np.random.default_rng(0)
+    frames = [(rng.random((s, s, 3)) * 255).astype(np.uint8) for _ in range(16)]
+    w.set_source(frames[0])
+    out = np.asarray(w.forward_frame(frames[1]))  # warm the fused jit + sync
+    n = 48
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = w.forward_frame(frames[i % 16])
+    out = np.asarray(out)  # host readback = hard sync
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "wrapper_fps_512px_per_chip",
+        "value": round(1.0 / dt, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(1.0 / dt / 30.0, 3),
+        "ms_per_frame": round(dt * 1e3, 2),
+    }))
+
+
 def main():
     from emoportraits_tpu.config import ExperimentConfig
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
@@ -186,6 +232,8 @@ def main():
         return bench_train()
     if os.environ.get("BENCH_STAGE2"):
         return bench_stage2()
+    if os.environ.get("BENCH_WRAPPER"):
+        return bench_wrapper()
 
     mode = os.environ.get("BENCH_MODE", "fused_bf16")
     batch = int(os.environ.get("BENCH_BATCH", "1"))

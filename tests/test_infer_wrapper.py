@@ -48,6 +48,22 @@ def test_set_source_and_forward(wrapper):
     assert not np.allclose(out1, out2)
 
 
+def test_forward_frame_fused_streaming(wrapper):
+    """The fused uint8 streaming path must match the flexible float path: same
+    pose estimate, same drive, 8-bit quantization at the end."""
+    rng = np.random.default_rng(3)
+    frame = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    wrapper.set_source((rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    ref = np.asarray(wrapper.forward(frame, smooth_pose=False))[0]
+    wrapper._prev_theta = None  # reset the momentum chain
+    out = np.asarray(wrapper.forward_frame(frame))
+    assert out.dtype == np.uint8 and out.shape == (64, 64, 3)
+    assert np.abs(out.astype(np.float32) / 255.0 - ref).max() < 2e-2
+    # momentum chain engages from the second frame
+    out2 = np.asarray(wrapper.forward_frame(frame))
+    assert out2.shape == (64, 64, 3)
+
+
 def test_forward_mixed_pose(wrapper):
     rng = np.random.default_rng(1)
     out = np.asarray(wrapper.forward_mixed_pose(
