@@ -24,6 +24,7 @@ def main():
     p.add_argument("--theta-momentum", type=float, default=0.0)
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--synthetic-demo", action="store_true")
+    p.add_argument("--tiny", action="store_true", help="tiny model config (smoke)")
     p.add_argument("--fuse-warps", action="store_true", default=True)
     p.add_argument("--bf16", action="store_true", default=True,
                    help="bf16 params+activations (fastest serving mode; see DESIGN.md)")
@@ -45,7 +46,11 @@ def main():
             args.checkpoint_dir, theta_momentum=args.theta_momentum)
     else:
         assert args.random_weights, "--checkpoint-dir or --random-weights required"
-        cfg = ExperimentConfig()
+        if args.tiny:
+            from emoportraits_tpu.config import tiny_config
+            cfg = tiny_config()
+        else:
+            cfg = ExperimentConfig()
         if args.fuse_warps:
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, fuse_warps=True))
