@@ -254,8 +254,11 @@ class TrainConfig:
     use_ibug_mask: bool = False
     green: bool = True               # green-screen background compositing
     sec_dataset_every: int = 4       # FEED batch-splicing cadence (train.py:233-249)
+    # epoch gates (reference va_losses_and_visuals.py:182,325,458): the heavy
+    # face-part L1s wait 10 epochs; fv_mix and the contrastive family wait 1
     mix_losses_start: int = 1
     contr_losses_start: int = 1
+    face_parts_epoch_start: int = 10
     num_b_negs: int = 1
     pred_mixing: bool = True
     predict_target_canon_vol: bool = True
@@ -417,7 +420,10 @@ def tiny_config() -> ExperimentConfig:
             expression_dim=16,
             source_volume_num_blocks=1,
         ),
-        train=TrainConfig(batch_size=2, image_size=64, aug_warp_size=64),
+        # epoch gates at 0 so one-step tests exercise the FULL loss set
+        train=TrainConfig(batch_size=2, image_size=64, aug_warp_size=64,
+                          mix_losses_start=0, contr_losses_start=0,
+                          face_parts_epoch_start=0),
     )
 
 
@@ -558,8 +564,12 @@ def from_reference_args(text_or_path: str):
             i += 1
             continue
         name = tok[2:]
-        value = tokens[i + 1] if i + 1 < len(tokens) else ""
-        i += 2
+        if "=" in name:  # --key=value form (argparse emits both)
+            name, value = name.split("=", 1)
+            i += 1
+        else:
+            value = tokens[i + 1] if i + 1 < len(tokens) else ""
+            i += 2
         if name in _REF_ARG_MAP:
             for dotted, conv in _REF_ARG_MAP[name]:
                 cfg = _replace_path(cfg, dotted, conv(value))

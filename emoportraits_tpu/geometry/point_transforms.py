@@ -124,4 +124,6 @@ def camera_to_world(pts_camera: np.ndarray,
     pts[..., 1] = -(pts[..., 1] - 120)
 
     pts = (pts - np.swapaxes(offset, 1, 2)) @ np.linalg.inv(np.swapaxes(rot, 1, 2))
-    return pts / 2e5
+    pts = pts / 2e5
+    pts[..., 2] -= 0.5
+    return pts

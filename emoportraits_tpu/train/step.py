@@ -109,6 +109,18 @@ def gen_losses(
     target = composite_target(cfg, batch["target_img"],
                               out.get("refined_target_mask", batch.get("target_mask")))
 
+    # epoch gates (reference va_losses_and_visuals.py:182,325,458): heavy face-part
+    # L1s start at face_parts_epoch_start, fv_mix at mix_losses_start, the
+    # expression-contrastive family at contr_losses_start. Traced multipliers so the
+    # schedule lives inside the one compiled step.
+    if step_count is not None:
+        epoch = step_count // max(cfg.train.train_epoch_len, 1)
+        g_parts = (epoch >= cfg.train.face_parts_epoch_start).astype(pred.dtype)
+        g_mix = (epoch >= cfg.train.mix_losses_start).astype(pred.dtype)
+        g_contr = (epoch >= cfg.train.contr_losses_start).astype(pred.dtype)
+    else:
+        g_parts = g_mix = g_contr = 1.0
+
     # --- adversarial + feature matching ---
     real_scores, real_feats = dis_apply(dis_params, target)
     fake_scores, fake_feats = dis_apply(dis_params, pred)
@@ -167,7 +179,7 @@ def gen_losses(
                                      out["mixing_img_align"])
         t = jax.lax.stop_gradient(towers.face_vector_embed(
             towers.face_vector_params, out["target_img_align_orig"]))
-        losses["resnet18_fv_mix"] = w.resnet18_fv_mix * cosine_embedding_loss(
+        losses["resnet18_fv_mix"] = g_mix * w.resnet18_fv_mix * cosine_embedding_loss(
             m, t, target=1)
 
     if w.l1_weight > 0:
@@ -212,12 +224,13 @@ def gen_losses(
             out["canonical_volume"]
             - jax.lax.stop_gradient(out["canon_volume_from_target"])))
 
-    # --- expression contrastive family (va_losses_and_visuals.py:457-578) ---
+    # --- expression contrastive family (va_losses_and_visuals.py:457-578; gated on
+    #     epoch >= contr_losses_start, :458) ---
     if "pred_cycle_exp" in out:
         t_emb = out["target_pose_embed"]
         p_cyc = out["pred_cycle_exp"]
         m_cyc = out.get("mixing_cycle_exp")
-        losses["pull_exp"] = w.pull_exp * (
+        losses["pull_exp"] = g_contr * w.pull_exp * (
             pull_loss(p_cyc, t_emb)
             + (0.5 * pull_loss(m_cyc, t_emb) if m_cyc is not None else 0.0))
         push = push_loss(p_cyc, t_emb)
@@ -226,21 +239,28 @@ def gen_losses(
         k = prev_targets.shape[0]
         for i in range(k):
             push = push + push_loss(p_cyc, jax.lax.stop_gradient(prev_targets[i])) / k
-        losses["push_exp"] = w.push_exp * push
-        losses["stm"] = w.push_exp * w.stm * stm_loss(out["source_pose_embed"], t_emb)
+        losses["push_exp"] = g_contr * w.push_exp * push
+        losses["stm"] = g_contr * w.push_exp * w.stm * stm_loss(
+            out["source_pose_embed"], t_emb)
         if w.contrastive_exp > 0:
-            losses["contrastive_exp_pred"] = w.contrastive_exp * contrastive_exp_loss(
-                p_cyc, t_emb, out["source_pose_embed"])
+            losses["contrastive_exp_pred"] = (
+                g_contr * w.contrastive_exp * contrastive_exp_loss(
+                    p_cyc, t_emb, out["source_pose_embed"]))
             if m_cyc is not None:
-                losses["contrastive_exp_mix"] = w.contrastive_exp * contrastive_exp_loss(
-                    m_cyc, t_emb, out["source_pose_embed"])
+                losses["contrastive_exp_mix"] = (
+                    g_contr * w.contrastive_exp * contrastive_exp_loss(
+                        m_cyc, t_emb, out["source_pose_embed"]))
 
     # --- face-part L1s (eyes/mouth/ears, weight 500 each) ---
-    # The reference runs its parser live on the target each step and sums SOFT class
-    # probabilities into part masks (va_losses_and_visuals.py:183-243); the loss is the
-    # plain L1 of masked images (mean over ALL pixels — the w=500 scale is calibrated
-    # to that, NOT to a mask-area-normalized mean). Masks may also arrive precomputed
-    # in the batch (input-pipeline option).
+    # The reference runs its parser live on the target each step, sums SOFT class
+    # probabilities into per-sample part masks, and ACCUMULATES one full-batch-mean
+    # L1 per sample with that sample's mask broadcast over the whole batch
+    # (va_losses_and_visuals.py:183-243: `losses['l1_eyes'] += w * l1(pred*mask_i,
+    # target*mask_i)`). For nonnegative masks that sum telescopes exactly to
+    # `w * mean(|pred - target| * sum_i mask_i)` — implemented vectorized here, so
+    # the magnitude matches the reference at any batch size. (The reference's ears
+    # branch masks its i==0 term with mouth_mask — a plain bug; ears use ears masks
+    # here.) Masks may also arrive precomputed in the batch (input-pipeline option).
     if w.eyes_l1 > 0 or w.mouth_l1 > 0 or w.ears_l1 > 0:
         part_masks: Dict[str, jax.Array] = {}
         if towers.face_parsing_apply is not None:
@@ -251,11 +271,13 @@ def gen_losses(
             for part in ("eyes", "mouth", "ears"):
                 if f"{part}_mask" in batch:
                     part_masks[part] = jax.lax.stop_gradient(batch[f"{part}_mask"])
+        diff = jnp.abs(pred - target)
         for part, weight in (("eyes", w.eyes_l1), ("mouth", w.mouth_l1),
                              ("ears", w.ears_l1)):
             if part in part_masks and weight > 0:
-                m = part_masks[part].astype(pred.dtype)
-                losses[f"{part}_l1"] = weight * jnp.mean(jnp.abs(pred * m - target * m))
+                m_sum = jnp.sum(part_masks[part].astype(pred.dtype), axis=0,
+                                keepdims=True)
+                losses[f"{part}_l1"] = g_parts * weight * jnp.mean(diff * m_sum)
 
     total = jnp.zeros(())
     for v in losses.values():
@@ -376,11 +398,18 @@ def make_train_step(
                         {"params": p},
                         jax.lax.stop_gradient(out["pred_mixing_img"]) * 2.0 - 1.0)
                     loss = loss + jnp.mean(jax.nn.softplus(mix_p))
-                r1 = r1_penalty(
-                    lambda q, img: sg_apply_raw({"params": q}, img * 2.0 - 1.0),
-                    p, target)
-                reg_on = (state.step % cfg.train.d_reg_every == 0).astype(loss.dtype)
-                loss = loss + reg_on * cfg.train.d_reg_every * cfg.weights.r1 * r1
+                # LAZY R1: the double-backprop penalty runs only every d_reg_every
+                # steps (reference va.py:1023-1046); lax.cond keeps the expensive
+                # branch out of the off-step execution path entirely.
+                r1 = jax.lax.cond(
+                    state.step % cfg.train.d_reg_every == 0,
+                    lambda q: r1_penalty(
+                        lambda qq, img: sg_apply_raw({"params": qq},
+                                                     img * 2.0 - 1.0),
+                        q, target),
+                    lambda q: jnp.zeros((), target.dtype),
+                    p)
+                loss = loss + cfg.train.d_reg_every * cfg.weights.r1 * r1
                 return loss
 
             sg_loss, sg_grads = jax.value_and_grad(sg_loss_fn)(state.sg_params)

@@ -270,6 +270,31 @@ def test_second_dis_and_stylegan_d_step():
     assert d2_delta > 0 and sg_delta > 0
 
 
+def test_epoch_gates_delay_heavy_losses(step_run):
+    """The reference delays the heavy losses by epoch (face parts wait
+    face_parts_epoch_start, fv_mix waits mix_losses_start, the contrastive family
+    waits contr_losses_start — va_losses_and_visuals.py:182,325,458). At step 0 with
+    nonzero gates those losses must be exactly zero; the always-on losses stay live."""
+    import dataclasses
+
+    cfg, model, state, new_state, metrics, out, batch, towers, _ = step_run
+    gated_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, face_parts_epoch_start=10,
+                                       mix_losses_start=1, contr_losses_start=1))
+    gen_apply = make_gen_apply(gated_cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params)
+    dis = MultiScaleDiscriminator(gated_cfg.model.discriminator)
+    step = jax.jit(make_train_step(
+        gated_cfg, gen_apply, lambda v, img: dis.apply(v, img), towers))
+    _, m = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("gen/eyes_l1", "gen/mouth_l1", "gen/ears_l1", "gen/resnet18_fv_mix",
+              "gen/pull_exp", "gen/push_exp", "gen/stm",
+              "gen/contrastive_exp_pred"):
+        assert float(m[k]) == 0.0, f"{k} should be epoch-gated to zero at step 0"
+    for k in ("gen/gen_adversarial", "gen/vgg19", "gen/feature_matching"):
+        assert abs(float(m[k])) > 0, f"{k} must stay active at step 0"
+
+
 def test_volume_rendering_branch_and_losses():
     """volume_rendering=True: the EG3D renderer replaces the collapse on the decoder
     input (va.py:586-589), emits pred_tar_img_vol/depth + mixing variants, and the

@@ -68,11 +68,9 @@ def test_point_transforms_roundtrip():
     }
     pts = rng.standard_normal((b, n, 3)) * 1e-4
     back = camera_to_world(world_to_camera(pts, params), params)
-    # the reference's camera_to_world deliberately does NOT undo the +0.5 z shift
-    # that world_to_camera applies (point_transforms.py:54 vs :149-151) — the
-    # roundtrip contract is identity plus that constant z offset
-    expected = pts + np.array([0.0, 0.0, 0.5])
-    np.testing.assert_allclose(back, expected, rtol=1e-6, atol=1e-9)
+    # exact inverse: camera_to_world ends with the z -= 0.5 that undoes
+    # world_to_camera's leading z += 0.5 (reference point_transforms.py:54, :151)
+    np.testing.assert_allclose(back, pts, rtol=1e-6, atol=1e-9)
 
 
 def test_normalize_losses_for_display():
