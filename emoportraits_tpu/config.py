@@ -348,6 +348,21 @@ class Stage2Config:
     dec_feat_channels: tuple = (128, 128, 64, 32)
     norm: str = "gn"
     activation: str = "relu"
+    # --- stage-2 training semantics (volumetric_avatar_two.py argparse defaults:
+    #     :55 resize_s2, :73 use_second_dis, :82-86 weights, :157 cycle_stage2,
+    #     :168 pred_mixing_stage2, :181-182 diff_ratio/mask_threshold) ---
+    adversarial: float = 1.0         # adversarial_weight
+    adversarial_gen: float = 1.0     # extra gen-side multiplier on the main D
+    adversarial_gen_2: float = 1.0   # gen-side weight of the second (mixing) D
+    feature_matching: float = 60.0   # feature_matching_weight
+    vgg19: float = 20.0              # vgg19_weight
+    l1_weight: float = 0.0
+    use_second_dis: bool = True
+    pred_mixing: bool = True         # pred_mixing_stage2
+    cycle_stage2: float = 0.0        # weight of the down-res consistency terms
+    resize_s2: int = 128             # 'area' resize target for cycle/mix terms
+    diff_ratio: float = 5.0          # L1_ffhq_diff = (diff_ratio-1)*l1 on the diff mask
+    mask_threshold: float = 0.01     # per-channel threshold of the diff mask
 
 
 @dataclass(frozen=True)

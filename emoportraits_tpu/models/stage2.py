@@ -107,12 +107,19 @@ class Stage2Enhancer(nn.Module):
 
     @nn.compact
     def __call__(self, resized_pred: jax.Array, face_mask: jax.Array,
+                 matte_mask: Optional[jax.Array] = None,
                  pred_feat: Optional[jax.Array] = None) -> jax.Array:
         """resized_pred: (B, S, S, 3) stage-1 output at S=512; face_mask (B, S, S, 1).
-        Returns the refined image, clamped to [0, 1]."""
+
+        The reference feeds the encoder the MATTE-masked image (`resized_pred *
+        resized_pred_target_mask`, volumetric_avatar_two.py:621) but gates the
+        additive residual with the tighter matte∧face-idt mask (:683); when only one
+        mask is supplied it is used for both. Returns the refined image in [0, 1].
+        """
         sn = dict(use_ws=self.use_ws, use_sn=self.use_sn)
+        enc_mask = face_mask if matte_mask is None else matte_mask
         feat = Stage2LocalEncoder(self.cfg, name="local_encoder", **sn)(
-            resized_pred * face_mask)
+            resized_pred * enc_mask)
         residual = Stage2Decoder(self.cfg, name="decoder", **sn)(feat, pred_feat)
         out = resized_pred + residual * face_mask
         return jnp.clip(out, 0.0, 1.0)

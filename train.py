@@ -168,7 +168,7 @@ def _train_stage2(cfg, args, train_stream):
                                              gen_vars["params"]),
                     "sn_state": gen_vars.get("sn_state", {})}
 
-    towers, _ = build_loss_towers(cfg, key, tiny=(s <= 64))
+    towers, frozen = build_loss_towers(cfg, key, tiny=(s <= 64))
     hp = jax.jit(lambda p, x: towers.head_pose_apply(p, x))
     enc = jax.jit(lambda v, s_, mk, t: model.apply(v, s_, mk, t,
                                                    method=model.encode_source))
@@ -185,14 +185,24 @@ def _train_stage2(cfg, args, train_stream):
     dis = MultiScaleDiscriminator(cfg.model.discriminator)
     enh_vars = jax.jit(enh.init)(key, z, m1)
     dis_vars = jax.jit(dis.init)(key, z)
+    # second (mixing) discriminator — use_second_dis default True
+    # (volumetric_avatar_two.py:73,503-515)
+    dis2_vars = None
+    second_dis_apply = None
+    if s2cfg.use_second_dis:
+        dis2 = MultiScaleDiscriminator(cfg.model.discriminator)
+        dis2_vars = jax.jit(dis2.init)(jax.random.fold_in(key, 2), z)
+        second_dis_apply = lambda v, img: dis2.apply(v, img)
 
-    def enhancer_apply(variables, pred, mask):
-        return enh.apply(variables, pred, mask, mutable=["sn_state"])
+    def enhancer_apply(variables, pred, mask, matte=None):
+        return enh.apply(variables, pred, mask, matte, mutable=["sn_state"])
 
-    state = Stage2TrainState.create(cfg, enh_vars, dis_vars)
+    state = Stage2TrainState.create(cfg, enh_vars, dis_vars, dis2_vars)
     step = jax.jit(make_stage2_train_step(
         cfg, enhancer_apply, lambda v, img: dis.apply(v, img),
-        vgg19_apply=towers.vgg19_apply, vgg19_params=towers.vgg19_params))
+        second_dis_apply=second_dis_apply,
+        vgg19_apply=towers.vgg19_apply, vgg19_params=towers.vgg19_params,
+        face_parsing=frozen.face_parsing, matting=frozen.matting))
 
     iters = args.iters or cfg.train.train_epoch_len
     epochs = args.epochs or 1
@@ -205,8 +215,15 @@ def _train_stage2(cfg, args, train_stream):
             mask = jnp.asarray(hb.get("source_mask", np.ones_like(src[..., :1])))
             avatar = enc(gen_vars, src, mask, hp(towers.head_pose_params, src))
             pred = drv(gen_vars, avatar, tgt, hp(towers.head_pose_params, tgt))
-            batch = {"pred_target_img": pred, "target_img_ffhq": tgt,
-                     "face_mask": jnp.asarray(
+            # cross-reenactment mixing prediction: same avatar driven by the batch
+            # ROLLED driver (stage-1 mixing semantics, va.py:634-646) feeds the
+            # second D + cycle-mix terms
+            mix_drv = jnp.roll(tgt, 1, axis=0)
+            pred_mix = drv(gen_vars, avatar, mix_drv,
+                           hp(towers.head_pose_params, mix_drv))
+            batch = {"pred_target_img": pred, "pred_mixing_img": pred_mix,
+                     "target_img_ffhq": tgt,
+                     "target_mask_ffhq": jnp.asarray(
                          hb.get("target_mask", np.ones_like(tgt[..., :1])))}
             rng, sk = jax.random.split(rng)
             state, metrics = step(state, batch, sk)
