@@ -94,9 +94,12 @@ class Decoder(nn.Module):
                 bi += 1
         img_f = x
 
-        y = GroupNorm(in_ch, name="head_norm")(x.astype(jnp.float32))
+        # head: GN computes its stats in fp32 internally; keeping the 128-channel
+        # tensor in the activation dtype halves the head's bandwidth at 512px. The
+        # 3-channel logits are promoted to fp32 for the sigmoid.
+        y = GroupNorm(in_ch, name="head_norm")(x)
         y = activation_fn(c.activation)(y)
         # dec_img_head conv follows a GN sibling -> WS-converted (bias kept, SN dropped)
         y = Conv(3, (1, 1), use_ws=self.use_ws, name="head_conv")(y)
-        img = jax.nn.sigmoid(y)
+        img = jax.nn.sigmoid(y.astype(jnp.float32))
         return img, (img_f if stage_two else None)

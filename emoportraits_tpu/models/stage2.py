@@ -91,9 +91,12 @@ class Stage2Decoder(nn.Module):
                          name=f"feat_{i}", **kw)(x)
             in_ch = out_ch
 
-        x = GroupNorm(in_ch, name="head_norm")(x.astype(jnp.float32))
+        # GN stats are fp32 internally; the tensor stays in the activation dtype
+        # (see decoder.py head) and only the 3-channel logits promote for the tanh
+        x = GroupNorm(in_ch, name="head_norm")(x)
         x = activation_fn(c.activation)(x)
-        return jnp.tanh(Conv(3, (1, 1), use_ws=self.use_ws, name="head_conv")(x))
+        x = Conv(3, (1, 1), use_ws=self.use_ws, name="head_conv")(x)
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class Stage2Enhancer(nn.Module):

@@ -128,3 +128,20 @@ def test_dense_matches_torch_linear():
     k = np.asarray(params["params"]["kernel"])
     b = np.asarray(params["params"]["bias"])
     np.testing.assert_allclose(ours, x @ k + b, atol=1e-5)
+
+
+def test_upsample_norm_commute_exact():
+    """The up-block computes norm/act at LOW resolution and replicates afterwards
+    (ops/blocks.py ResBlock commute_up). Nearest replication must commute exactly
+    with GroupNorm + activation: same values as the reference order (norm AFTER
+    upsample), which the ported-torch parity tests exercise end-to-end."""
+    import numpy as np
+    from emoportraits_tpu.ops.blocks import GroupNorm, upsample_nearest
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)).astype(np.float32))
+    gn = GroupNorm(64)
+    p = gn.init(jax.random.PRNGKey(0), x)
+    a = upsample_nearest(jax.nn.relu(gn.apply(p, x)), 2)
+    b = jax.nn.relu(gn.apply(p, upsample_nearest(x, 2)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
