@@ -13,8 +13,9 @@ Env knobs:
   BENCH_TRAIN = 1 -> measure the full GAN train step (it/s + MFU) instead of serving.
 
 Measured on TPU v5e (single chip, 512px): plain_f32 41.6 fps, fused_f32 43.4,
-plain_bf16 53.6, fused_bf16 55.7 fps (MFU 0.298); BENCH_TRAIN=1 full prod-loss GAN
-step 461 ms/iter bf16 (2.17 it/s, 24.6 TFLOP/step, MFU 0.27).
+plain_bf16 53.6, fused_bf16 59.95 fps (MFU 0.315, after the up-block commute);
+BENCH_TRAIN=1 full prod-loss GAN step 456 ms/iter bf16 (2.19 it/s, MFU 0.27);
+BENCH_STAGE2=1 45.8 fps (MFU 0.459).
 """
 from __future__ import annotations
 
