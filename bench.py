@@ -243,6 +243,13 @@ def main():
     if "fused" in mode:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, fuse_warps=True))
+    if "int8" in mode:
+        # int8-quantized decoder serving (fused_int8 implies bf16 elsewhere):
+        # per-out-channel weight quant + calibrated static activation scales
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, decoder=dataclasses.replace(cfg.model.decoder,
+                                                   serve_int8=True)))
+        mode = mode + "_bf16" if "bf16" not in mode else mode
     model = VolumetricAvatar(cfg.model)
     b, s = batch, cfg.train.image_size
 
@@ -255,8 +262,10 @@ def main():
 
     dtype = jnp.bfloat16 if "bf16" in mode else jnp.float32
     if dtype == jnp.bfloat16:
-        variables = jax.tree.map(
-            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, variables)
+        variables = {
+            k: (v if k == "quant" else jax.tree.map(  # quant scales stay fp32
+                lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, v))
+            for k, v in variables.items()}
 
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
@@ -273,6 +282,13 @@ def main():
 
     state = enc(variables, src, mask, theta)
     jax.block_until_ready(state)
+    if "int8" in os.environ.get("BENCH_MODE", ""):
+        # calibration pass: one mutable-quant drive grows the activation scales to
+        # the observed maxima, then the calibrated scales ride in `variables`
+        cal = jax.jit(lambda v, st, d, t: model.apply(
+            v, st, d, t, method=model.drive, mutable=["quant"])[1])
+        muts = cal(variables, state, drv, theta)
+        variables = {**variables, "quant": muts["quant"]}
     # cost analysis runs AFTER timing (see bench_stage2 note: an AOT compile can
     # poison subsequent same-input call timing through the relay)
     img = drv_fn(variables, state, drv, theta)

@@ -147,6 +147,10 @@ class DecoderConfig:
     num_lrs_per_resolution: int = 2  # im_dec_num_lrs_per_resolution (prod 2)
     ch_div_factor: float = 1.5       # im_dec_ch_div_factor (prod 1.5)
     use_adanorm: bool = False        # dec_use_adanorm (prod False -> ProjectorNorm path)
+    # int8 quantized serving of the decoder's 3x3 convs (forward-only; calibrate the
+    # 'quant' collection with a mutable=["quant"] pass). Beyond-reference TPU perf
+    # feature: int8 halves the conv-input HBM traffic and runs the int8 MXU path.
+    serve_int8: bool = False
 
 
 @dataclass(frozen=True)

@@ -180,6 +180,23 @@ class InferenceWrapper:
         self._prev_theta = theta
         return out
 
+    def calibrate_quant(self, driver_images) -> None:
+        """Grow the int8 activation scales (`quant` collection) on sample driver
+        frames — required once per avatar/model when the decoder serves int8
+        (DecoderConfig.serve_int8). Scales only increase, so calibration over a
+        few representative frames upper-bounds the observed activations."""
+        assert self._state is not None, "call set_source() first"
+        assert "quant" in self.variables, \
+            "serve_int8 decoder variables must carry the 'quant' collection"
+        m = self.model
+        cal = jax.jit(lambda v, st, d, t: m.apply(
+            v, st, d, t, method=m.drive, mutable=["quant"])[1])
+        for img in driver_images:
+            drv = self._prep(img)
+            theta = self._estimate_theta(drv)
+            muts = cal(self.variables, self._state, drv, theta)
+            self.variables = {**self.variables, "quant": muts["quant"]}
+
     def forward_mixed_pose(self, driver_image: np.ndarray):
         """Cross-identity reenactment with the MIXING pose: keep the driver's rotation
         and translation but the source's scale/stretch via polar decomposition

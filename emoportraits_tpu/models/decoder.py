@@ -77,7 +77,7 @@ class Decoder(nn.Module):
             blk_mods = mods[mi:mi + 2] if mods is not None else None
             mi += 2
             x = ResBlock(shared_ch, shared_ch, norm=norm, activation=c.activation,
-                         name=f"res_{i}", **sn)(x, mods=blk_mods)
+                         quant=c.serve_int8, name=f"res_{i}", **sn)(x, mods=blk_mods)
 
         # ---- image decoder (reference ImageDecoder, decoder.py:240-411) ----
         in_ch = shared_ch
@@ -89,6 +89,7 @@ class Decoder(nn.Module):
                 x = ResBlock(in_ch, ch, norm=norm, activation=c.activation,
                              stride=2 if k == 0 else 1,
                              resize="nearest" if k == 0 else "none",
+                             quant=c.serve_int8,
                              name=f"img_{bi}", **sn)(x, mods=blk_mods)
                 in_ch = ch
                 bi += 1

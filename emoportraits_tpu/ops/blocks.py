@@ -104,6 +104,13 @@ class Conv(nn.Module):
     use_sn: bool = False
     feature_group_count: int = 1
     dtype: Any = None
+    # int8 serving path: per-output-channel symmetric weight quantization (computed
+    # from the SN/WS-transformed effective kernel inside the program) x per-tensor
+    # static activation scale (the 'quant' collection; grows to the observed max when
+    # run with mutable=["quant"] — the calibration pass). The conv runs int8 x int8
+    # with int32 accumulation on the MXU; dequant + bias fuse into the epilogue.
+    # Forward-only (serving): the int8 conv has no VJP.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -141,13 +148,34 @@ class Conv(nn.Module):
             padding = tuple((k // 2, k // 2) for k in self.kernel_size)
 
         dtype = self.dtype or x.dtype
-        # No preferred_element_type: the TPU MXU accumulates bf16 convs in fp32
-        # natively, and requesting an f32 output dtype makes the transposed conv in
-        # the VJP mix dtypes (f32 cotangent vs bf16 kernel) and fail to trace.
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype), strides, padding,
-            dimension_numbers=dn, feature_group_count=self.feature_group_count,
-        )
+        if self.quant:
+            act_scale = self.variable(
+                "quant", "act_scale", lambda: jnp.full((), 6.0, jnp.float32))
+            if not self.is_initializing() and self.is_mutable_collection("quant"):
+                # calibration pass: scales only grow toward the observed |x| max
+                act_scale.value = jnp.maximum(
+                    act_scale.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            sx = act_scale.value / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                          -127, 127).astype(jnp.int8)
+            kf = kernel.astype(jnp.float32)
+            sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1)))
+                             / 127.0, 1e-8)
+            kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, kq, strides, padding, dimension_numbers=dn,
+                feature_group_count=self.feature_group_count,
+                preferred_element_type=jnp.int32,
+            )
+            y = (y.astype(jnp.float32) * (sx * sw)).astype(dtype)
+        else:
+            # No preferred_element_type: the TPU MXU accumulates bf16 convs in fp32
+            # natively, and requesting an f32 output dtype makes the transposed conv
+            # in the VJP mix dtypes (f32 cotangent vs bf16 kernel) and fail to trace.
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype), strides, padding,
+                dimension_numbers=dn, feature_group_count=self.feature_group_count,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -324,6 +352,7 @@ class ResBlock(nn.Module):
     resize: str = "none"  # 'none' | 'nearest' | 'avgpool'
     use_ws: bool = False
     use_sn: bool = False
+    quant: bool = False  # int8-serve the two 3x3 convs (skip stays high precision)
 
     @nn.compact
     def __call__(self, x, mods: Optional[Sequence[Mod]] = None):
@@ -333,7 +362,8 @@ class ResBlock(nn.Module):
         ws0 = self.use_ws and self.norm != "none" and (
             (self.ndim == 2 and not self.norm.startswith("ada_"))
             or (self.ndim == 3 and self.norm.startswith("ada_")))
-        conv0_kw = dict(use_bias=ws0, use_ws=ws0, use_sn=self.use_sn and not ws0)
+        conv0_kw = dict(use_bias=ws0, use_ws=ws0, use_sn=self.use_sn and not ws0,
+                        quant=self.quant)
         conv_kw = dict(use_bias=False, use_ws=False, use_sn=self.use_sn)
         upsample = self.resize in ("nearest", "bilinear", "trilinear") and self.stride > 1
         downsample = self.resize in ("avgpool", "maxpool") and self.stride > 1
@@ -360,7 +390,8 @@ class ResBlock(nn.Module):
             out = _resize_up(out, self.stride, self.resize)
         out = Conv(self.out_channels, k, name="conv_0", **conv0_kw)(out)
         out = NormAct(self.out_channels, self.norm, self.activation, name="norm_act_1")(out, m1)
-        out = Conv(self.out_channels, k, name="conv_1", **conv_kw)(out)
+        out = Conv(self.out_channels, k, name="conv_1", quant=self.quant,
+                   **conv_kw)(out)
         if downsample:
             out = _resize_down(out, self.stride, self.resize)
 
