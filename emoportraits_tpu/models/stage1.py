@@ -23,6 +23,7 @@ from flax import linen as nn
 
 from ..config import ModelConfig
 from ..geometry.transforms import apply_theta_to_grid, inverse_theta_4x4
+from ..parallel.spatial import sp_image, sp_volume
 from ..ops.blocks import Conv, Dense
 from ..ops.grid_sample import (
     grid_sample_3d,
@@ -154,12 +155,12 @@ class VolumetricAvatar(nn.Module):
         cfg.volume_rendering (emitting `{key}_img_vol`/`{key}_depth_vol` for the
         l1_vol_rgb losses, va.py:586-589), else the C-major collapse."""
         if not self.cfg.volume_rendering:
-            return self._collapse(vol)
+            return sp_image(self._collapse(vol))
         feat, rgb, depth = self.volume_renderer_nw(vol)
         if out is not None and key is not None:
             out[f"{key}_img_vol"] = rgb
             out[f"{key}_depth_vol"] = depth
-        return feat
+        return sp_image(feat)
 
     # ------------------------------------------------------------- main forwards
 
@@ -185,9 +186,11 @@ class VolumetricAvatar(nn.Module):
         from the frozen head-pose regressor.
         """
         out: Dict[str, Any] = {}
-        masked_source = source_img * source_mask
+        # sp_image/sp_volume: spatial-parallel activation sharding — identity unless
+        # traced under a mesh with an `sp` axis (parallel/spatial.py)
+        masked_source = sp_image(source_img * source_mask)
 
-        latent_volume = self.local_encoder_nw(masked_source)
+        latent_volume = sp_volume(self.local_encoder_nw(masked_source))
         idt_embed = self.idt_embedder_nw(masked_source)
         out["idt_embed"] = idt_embed
 
@@ -214,15 +217,15 @@ class VolumetricAvatar(nn.Module):
         if self.cfg.source_volume_num_blocks > 0:
             latent_volume = self.volume_source_nw(latent_volume)
 
-        canonical = self.volume_process_nw(
+        canonical = sp_volume(self.volume_process_nw(
             self._grid_sample(self._grid_sample(latent_volume, source_rotation_warp),
-                              xy_warp))
+                              xy_warp)))
         if self.cfg.use_tensor:
             canonical = canonical + self.avarage_tensor_ts.astype(canonical.dtype)
         out["canonical_volume"] = canonical
 
-        aligned = self._grid_sample(
-            self._grid_sample(canonical, uv_warp), target_rotation_warp)
+        aligned = sp_volume(self._grid_sample(
+            self._grid_sample(canonical, uv_warp), target_rotation_warp))
         if self.cfg.pred_volume_num_blocks > 0:
             aligned = self.volume_pred_nw(aligned)
 
@@ -235,6 +238,7 @@ class VolumetricAvatar(nn.Module):
             collapsed = self.backgroung_adding_nw(collapsed, bg)
         img, img_f = self.decoder_nw(collapsed, target_embed,
                                      stage_two=stage_two)
+        img = sp_image(img)
         out["pred_target_img"] = img
         out["pred_feat"] = img_f
 
@@ -296,8 +300,8 @@ class VolumetricAvatar(nn.Module):
                       source_theta: jax.Array) -> AvatarState:
         """Once per avatar: build the canonical latent volume
         (reference infer.py:379-507 SOURCE path)."""
-        masked = source_img * source_mask
-        latent_volume = self.local_encoder_nw(masked)
+        masked = sp_image(source_img * source_mask)
+        latent_volume = sp_volume(self.local_encoder_nw(masked))
         idt_embed = self.idt_embedder_nw(masked)
         source_pose_embed = self.expression_vector(source_img, source_theta)
         source_embed = self.fuse_embed(source_pose_embed, idt_embed)
@@ -313,7 +317,7 @@ class VolumetricAvatar(nn.Module):
         else:
             warped = self._grid_sample(self._grid_sample(latent_volume, rot_warp),
                                        xy_warp)
-        canonical = self.volume_process_nw(warped)
+        canonical = sp_volume(self.volume_process_nw(warped))
         return AvatarState(canonical, idt_embed, source_pose_embed)
 
     def drive(self, state: AvatarState, driver_img: jax.Array,
@@ -337,11 +341,12 @@ class VolumetricAvatar(nn.Module):
         else:
             aligned = self._grid_sample(
                 self._grid_sample(state.canonical_volume, uv_warp), rot_warp)
+        aligned = sp_volume(aligned)
         if self.cfg.pred_volume_num_blocks > 0:
             aligned = self.volume_pred_nw(aligned)
         img, img_f = self.decoder_nw(self._to_2d(aligned), embed,
                                      stage_two=stage_two)
-        return (img, img_f) if stage_two else (img, None)
+        return (sp_image(img), img_f) if stage_two else (sp_image(img), None)
 
     def __call__(self, source_img, source_mask, target_img, source_theta, target_theta):
         """Init-friendly entry point == generate()."""
