@@ -85,6 +85,9 @@ class ExpressionEmbedConfig:
     dropout: float = 0.2            # exp_dropout
     norm: str = "gn"
     backbone_width: int = 64        # torchvision width; <64 = test miniature
+    # lpe_final_pooling_type (va_arguments.py:339, prod 'avg'): 'transformer' pools
+    # the trunk feature map with a ViT cls-token head (utils.py TransformerHead :629)
+    final_pooling_type: str = "avg"
 
 
 @dataclass(frozen=True)
@@ -102,6 +105,14 @@ class WarpGeneratorConfig:
     norm: str = "gn"                # adaptive: becomes ada_gn inside
     activation: str = "relu"
     embed_size: int = 4             # gen_embed_size
+    # AdaptiveConv branch (reference gen_use_adaconv, va_arguments.py:272-280; the
+    # reference's own end-to-end path is dead — predict_embed references
+    # warp_embed_head_dict heads that are never constructed, va.py:866 — and its
+    # un-passed annealing alpha defaults the deltas to a no-op. Here the branch is
+    # runnable: see ops/adaptive.AdaConvEmbedHeads / ProjectorConv.)
+    use_adaconv: bool = False       # gen_use_adaconv
+    adaptive_conv_type: str = "sum"  # gen_adaptive_conv_type ('sum' | 'mul')
+    adaptive_kernel: bool = False   # gen_adaptive_kernel (per-tap deltas)
 
 
 @dataclass(frozen=True)
@@ -256,6 +267,15 @@ class TrainConfig:
     use_mix_mask: bool = True
     # alternate ibug mask arithmetic (va.py:299-349; prod use_ibug_mask=False)
     use_ibug_mask: bool = False
+    # within the ibug branch: True = BiSeNet face_idt arithmetic (va.py:326-328
+    # else-branch), False = RTNet tanh-polar parser soft face probability
+    # (va.py:300-321 get_lips path; models/rtnet.py here)
+    use_old_fp: bool = True
+    # AdaptiveConv annealing schedule (va_arguments.py:277-280); only read when the
+    # warp generators run with use_adaconv — alpha ramps 0 -> 1 over max_iter steps
+    gen_adaptive_use_annealing: bool = False
+    gen_adaptive_annealing_type: str = "cos"   # 'lin' | 'cos'
+    gen_adaptive_annealing_max_iter: int = 100_000
     green: bool = True               # green-screen background compositing
     sec_dataset_every: int = 4       # FEED batch-splicing cadence (train.py:233-249)
     # epoch gates (reference va_losses_and_visuals.py:182,325,458): the heavy
@@ -474,6 +494,8 @@ _REF_ARG_MAP = {
         ("model.expression_embedder.output_channels", int),
         ("model.expression_dim", int)],
     "exp_dropout": [("model.expression_embedder.dropout", float)],
+    "lpe_final_pooling_type": [
+        ("model.expression_embedder.final_pooling_type", str)],
     "enc_channel_mult": [("model.local_encoder.channel_mult", float)],
     "dec_channel_mult": [("model.decoder.channel_mult", float)],
     "dec_max_channels": [("model.decoder.max_channels", int)],
@@ -484,6 +506,13 @@ _REF_ARG_MAP = {
                              ("model.unet3d.dummy_input_size", int)],
     "gen_embed_size": [("model.embed_size", int)],
     "gen_max_channels": [("model.max_channels", int)],
+    "gen_use_adaconv": [("model.warp_generator.use_adaconv", _str2bool)],
+    "gen_adaptive_conv_type": [("model.warp_generator.adaptive_conv_type", str)],
+    "gen_adaptive_kernel": [("model.warp_generator.adaptive_kernel", _str2bool)],
+    "gen_adaptive_use_annealing": [("train.gen_adaptive_use_annealing", _str2bool)],
+    "gen_adaptive_annealing_type": [("train.gen_adaptive_annealing_type", str)],
+    "gen_adaptive_annealing_max_iter": [
+        ("train.gen_adaptive_annealing_max_iter", int)],
     "source_volume_num_blocks": [("model.source_volume_num_blocks", int)],
     "pred_volume_num_blocks": [("model.pred_volume_num_blocks", int)],
     "volume_rendering": [("model.volume_rendering", _str2bool)],
@@ -502,6 +531,7 @@ _REF_ARG_MAP = {
     "green": [("train.green", _str2bool)],
     "use_mix_mask": [("train.use_mix_mask", _str2bool)],
     "use_ibug_mask": [("train.use_ibug_mask", _str2bool)],
+    "use_old_fp": [("train.use_old_fp", _str2bool)],
     "use_stylegan_d": [("train.use_stylegan_d", _str2bool)],
     "d_reg_every": [("train.d_reg_every", int)],
     "match_neutral": [("train.match_neutral", _str2bool)],

@@ -105,6 +105,8 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     use_ws: bool = False
     use_sn: bool = False
+    # atrous stage (torchvision replace_stride_with_dilation; FCN-style trunks)
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -114,6 +116,7 @@ class Bottleneck(nn.Module):
         out = Norm(self.features, self.norm, name="bn1")(out)
         out = jax.nn.relu(out)
         out = Conv(self.features, (3, 3), strides=self.stride, use_bias=ws, use_ws=ws,
+                   kernel_dilation=self.dilation,
                    use_sn=self.use_sn and not ws, name="conv2")(out)
         out = Norm(self.features, self.norm, name="bn2")(out)
         out = jax.nn.relu(out)
@@ -142,6 +145,10 @@ class ResNet(nn.Module):
     # trainable-generator-subnet mode (reference SN+WS application; see BasicBlock)
     use_ws: bool = False
     use_sn: bool = False
+    # torchvision replace_stride_with_dilation for stages 2-4 (bottleneck only):
+    # a True entry turns that stage's stride into dilation (FCN output-stride 8/16
+    # trunks, e.g. the RTNet-role face parser)
+    replace_stride_with_dilation: Sequence[bool] = ()
 
     @nn.compact
     def __call__(self, x, return_features: bool = False):
@@ -155,14 +162,24 @@ class ResNet(nn.Module):
         x = max_pool(x, 3, 2, 1)
         feats = []
         features = w0
+        dilation = 1
         for li, n_blocks in enumerate(self.layers):
             stride = 1 if li == 0 else 2
+            prev_dilation = dilation
+            if (li >= 1 and li - 1 < len(self.replace_stride_with_dilation)
+                    and self.replace_stride_with_dilation[li - 1]):
+                dilation *= stride  # torchvision _make_layer(dilate=True)
+                stride = 1
             for bi in range(n_blocks):
-                needs_down = bi == 0 and (stride != 1 or li == 0 and expansion != 1)
+                needs_down = bi == 0 and (stride != 1 or li == 0 and expansion != 1
+                                          or prev_dilation != dilation)
+                kw = {}
+                if block_cls is Bottleneck:
+                    kw["dilation"] = prev_dilation if bi == 0 else dilation
                 x = block_cls(
                     features, stride if bi == 0 else 1, self.norm,
                     downsample=needs_down, use_ws=self.use_ws, use_sn=self.use_sn,
-                    name=f"layer{li + 1}_{bi}")(x)
+                    name=f"layer{li + 1}_{bi}", **kw)(x)
             feats.append(x)
             features *= 2
         if self.num_classes is not None:

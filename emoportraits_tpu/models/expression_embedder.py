@@ -80,6 +80,56 @@ def estimate_theta_from_keypoints(keypoints: jax.Array,
     return theta.at[:, 3, 3].set(1.0)
 
 
+class TransformerPool(nn.Module):
+    """ViT cls-token pooling of the trunk feature map (reference TransformerHead,
+    utils.py:629-660; chosen by lpe_final_pooling_type='transformer',
+    expression_embedder.py:398-403 — prod uses 'avg'). Pre-LN residual blocks with
+    learned positional embeddings and a learned cls token; returns the cls output.
+
+    Reference hyperparameters: depth=3, heads=8, dim_head=64, mlp_dim=1024,
+    dropout=0.1 (identity here — the embedder is queried deterministically at
+    inference and the reference's transformer option was never trained)."""
+    dim: int = 128
+    depth: int = 3
+    heads: int = 8
+    dim_head: int = 64
+    mlp_dim: int = 1024
+
+    @nn.compact
+    def __call__(self, feat: jax.Array) -> jax.Array:
+        """feat: (B, h, w, C) trunk output -> (B, C) cls vector."""
+        b, h, w, c = feat.shape
+        n = h * w
+        # torch views (B, C, h*w) then permutes -> token order is row-major spatial
+        x = jnp.transpose(feat, (0, 3, 1, 2)).reshape(b, c, n)
+        x = jnp.transpose(x, (0, 2, 1)).astype(jnp.float32)  # (B, n, C)
+        cls = self.param("cls_token", nn.initializers.normal(1.0), (1, 1, self.dim))
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, n + 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x], axis=1)
+        x = x + pos[:, : n + 1]
+        inner = self.heads * self.dim_head
+        for d in range(self.depth):
+            # attention block: LN -> qkv -> softmax(q k^T / sqrt(dh)) v -> proj (+res)
+            y = nn.LayerNorm(name=f"attn_ln_{d}")(x)
+            qkv = Dense(inner * 3, use_bias=False, name=f"to_qkv_{d}")(y)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            split = lambda t: t.reshape(b, n + 1, self.heads, self.dim_head
+                                        ).transpose(0, 2, 1, 3)
+            q, k, v = split(q), split(k), split(v)
+            attn = jax.nn.softmax(
+                jnp.einsum("bhid,bhjd->bhij", q, k) * self.dim_head ** -0.5, axis=-1)
+            y = jnp.einsum("bhij,bhjd->bhid", attn, v)
+            y = y.transpose(0, 2, 1, 3).reshape(b, n + 1, inner)
+            x = x + Dense(self.dim, name=f"attn_out_{d}")(y)
+            # feed-forward block: LN -> GELU MLP (+res)
+            y = nn.LayerNorm(name=f"ff_ln_{d}")(x)
+            y = Dense(self.mlp_dim, name=f"ff_0_{d}")(y)
+            y = jax.nn.gelu(y, approximate=False)
+            x = x + Dense(self.dim, name=f"ff_1_{d}")(y)
+        return x[:, 0]
+
+
 class ExpressionEmbed(nn.Module):
     cfg: ExpressionEmbedConfig
     pool_size: int = 4  # lpe_output_size
@@ -102,6 +152,14 @@ class ExpressionEmbed(nn.Module):
         if c.dropout > 0:
             feat = nn.Dropout(rate=c.dropout, deterministic=deterministic,
                               name="drop")(feat)
+        if c.final_pooling_type == "transformer":
+            # ViT cls-token pooling + LN + Linear (reference
+            # expression_embedder.py:398-403, pose_head Sequential)
+            vec = TransformerPool(dim=c.output_channels,
+                                  name="pose_head_tf")(feat)
+            vec = nn.LayerNorm(name="pose_head_ln")(vec)
+            return Dense(c.output_channels, use_bias=False,
+                         name="pose_head")(vec)
         pooled = adaptive_avg_pool(feat, self.pool_size)
         # torch flatten of (B, C, h, w) is C-major; transpose for port parity.
         flat = jnp.transpose(pooled, (0, 3, 1, 2)).reshape(pooled.shape[0], -1)

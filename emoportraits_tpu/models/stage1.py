@@ -178,6 +178,7 @@ class VolumetricAvatar(nn.Module):
         match_neutral: bool = False,
         source_expr_img: Optional[jax.Array] = None,
         target_expr_img: Optional[jax.Array] = None,
+        conv_alpha=1.0,  # AdaptiveConv annealing (only read when use_adaconv)
     ) -> Dict[str, Any]:
         """Training/inference forward for a (source, target) pair
         (reference G_forward, va.py:287-765; prod flag settings).
@@ -208,8 +209,10 @@ class VolumetricAvatar(nn.Module):
         source_embed = self.fuse_embed(source_pose_embed, idt_embed)
         target_embed = self.fuse_embed(target_pose_embed, idt_embed)
 
-        xy_warp, out["source_delta_xy"] = self.xy_generator_nw(source_embed)
-        uv_warp, out["target_delta_uv"] = self.uv_generator_nw(target_embed)
+        xy_warp, out["source_delta_xy"] = self.xy_generator_nw(source_embed,
+                                                               conv_alpha)
+        uv_warp, out["target_delta_uv"] = self.uv_generator_nw(target_embed,
+                                                               conv_alpha)
 
         source_rotation_warp = self.rotation_warp(source_theta, invert=True)
         target_rotation_warp = self.rotation_warp(target_theta, invert=False)
@@ -264,7 +267,7 @@ class VolumetricAvatar(nn.Module):
             # polar-mixed pose (reference va.py:634-765).
             rolled_embed = jnp.roll(target_pose_embed, 1, axis=0)
             mix_embed = self.fuse_embed(rolled_embed, idt_embed)
-            mix_uv_warp, _ = self.uv_generator_nw(mix_embed)
+            mix_uv_warp, _ = self.uv_generator_nw(mix_embed, conv_alpha)
             mix_rot_warp = self.rotation_warp(mixing_theta, invert=False)
             mix_aligned = self._grid_sample(
                 self._grid_sample(canonical, mix_uv_warp), mix_rot_warp)
@@ -277,7 +280,7 @@ class VolumetricAvatar(nn.Module):
 
     def canonical_from_target(self, target_img: jax.Array, target_mask: jax.Array,
                               target_pose_embed: jax.Array, idt_embed: jax.Array,
-                              inv_theta_st: jax.Array) -> jax.Array:
+                              inv_theta_st: jax.Array, conv_alpha=1.0) -> jax.Array:
         """Canonical volume re-derived from the TARGET frame, for the volumes_l1
         self-supervision (reference predict_target_canon_vol branch, va.py:554-566;
         runs under no-grad there — callers wrap in stop_gradient).
@@ -286,7 +289,7 @@ class VolumetricAvatar(nn.Module):
         target_translation), optionally right-composed with the keypoint alignment matrix
         (va.py:437-448)."""
         embed = self.fuse_embed(target_pose_embed, idt_embed)
-        xy_warp, _ = self.xy_generator_nw(embed)
+        xy_warp, _ = self.xy_generator_nw(embed, conv_alpha)
         latent = self.local_encoder_nw(target_img * target_mask)
         if self.cfg.source_volume_num_blocks > 0:
             latent = self.volume_source_nw(latent)

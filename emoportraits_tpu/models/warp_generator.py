@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import WarpGeneratorConfig
-from ..ops.adaptive import ProjectorNorm
+from ..ops.adaptive import AdaConvEmbedHeads, ProjectorConv, ProjectorNorm
 from ..ops.blocks import Conv, GroupNorm, ResBlock, activation_fn, avg_pool
 from ..ops.grid_sample import make_identity_grid_3d
 
@@ -54,8 +54,12 @@ class WarpGenerator(nn.Module):
     use_sn: bool = True
 
     @nn.compact
-    def __call__(self, embed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, embed: jax.Array,
+                 conv_alpha=1.0) -> Tuple[jax.Array, jax.Array]:
         """embed: (B, E, E, C_in) fused warp embed (spatial layout of embed_dict['orig']).
+
+        `conv_alpha` (traced scalar, only read when cfg.use_adaconv) anneals the
+        per-sample kernel deltas (ops/adaptive.annealing_alpha; 0 = base kernels).
 
         Returns (warp, deltas), both (B, D, S, S, 3) with (x, y, z) order.
         """
@@ -66,13 +70,29 @@ class WarpGenerator(nn.Module):
 
         # Projector: each res block has 2 adaptive norms at (in_ch, out_ch).
         chans = []
+        conv_specs = []
+        per_block_nmods = []
         in_ch = top_ch
         for oc in out_chs:
             chans += [in_ch, oc]
+            sp = ResBlock.conv_specs(in_ch, oc, ndim=3)
+            conv_specs += sp
+            per_block_nmods.append(len(sp))
             in_ch = oc
         embed_flat = jnp.transpose(embed, (0, 3, 1, 2)).reshape(b, embed.shape[-1], -1)
         mods = ProjectorNorm(tuple(chans), c.max_channels, c.embed_size,
                              name="projector")(embed_flat)
+
+        # AdaptiveConv branch (warp_generator_resnet.py:113-116 + the reconstructed
+        # embed heads — see AdaConvEmbedHeads docstring for why they live here).
+        conv_mods = None
+        if c.use_adaconv:
+            kinds = ("fc", "conv3d") if c.adaptive_kernel else ("fc",)
+            head_in = AdaConvEmbedHeads(c.max_channels, c.embed_size, kinds,
+                                        name="adaconv_heads")(embed_flat)
+            conv_mods = ProjectorConv(tuple(conv_specs), c.max_channels,
+                                      c.adaptive_kernel,
+                                      name="projector_conv")(head_in)
 
         # first_conv at child index 0 -> SN only (never WS-converted)
         x = Conv(top_ch * e, (1, 1), use_bias=False,
@@ -84,6 +104,7 @@ class WarpGenerator(nn.Module):
         depth = e
         ndrb = int(math.log2(c.output_size // c.dummy_input_size))
         in_ch = top_ch
+        cm_off = 0
         for i, oc in enumerate(out_chs, start=1):
             spatial = e * 2 ** i
             if i < ndrb:
@@ -94,10 +115,17 @@ class WarpGenerator(nn.Module):
                 x = resize_trilinear(x, (2, 2, 2))
             else:
                 x = resize_trilinear(x, (1, 2, 2))
+            n_cm = per_block_nmods[i - 1]
+            block_cm = (conv_mods[cm_off:cm_off + n_cm]
+                        if conv_mods is not None else None)
+            cm_off += n_cm
             x = ResBlock(in_ch, oc, ndim=3, norm="ada_" + c.norm,
                          activation=c.activation, use_ws=self.use_ws,
-                         use_sn=self.use_sn, name=f"block_{i - 1}")(
-                x, mods=mods[2 * (i - 1): 2 * i])
+                         use_sn=self.use_sn,
+                         adaptive_conv_type=c.adaptive_conv_type,
+                         name=f"block_{i - 1}")(
+                x, mods=mods[2 * (i - 1): 2 * i],
+                conv_mods=block_cm, conv_alpha=conv_alpha)
             if depth_new < depth * 2 and depth_new < x.shape[1]:
                 x = avg_pool(x, (x.shape[1] // depth_new, 1, 1))
             depth = depth_new

@@ -103,6 +103,8 @@ class Conv(nn.Module):
     use_ws: bool = False
     use_sn: bool = False
     feature_group_count: int = 1
+    # atrous/dilated conv (FCN-style backbones, e.g. the RTNet-role parser trunk)
+    kernel_dilation: Sequence[int] | int = 1
     dtype: Any = None
     # int8 serving path: per-output-channel symmetric weight quantization (computed
     # from the SN/WS-transformed effective kernel inside the program) x per-tensor
@@ -111,9 +113,14 @@ class Conv(nn.Module):
     # with int32 accumulation on the MXU; dequant + bias fuse into the epilogue.
     # Forward-only (serving): the int8 conv has no VJP.
     quant: bool = False
+    # AdaptiveConv combination rule (reference assign_adaptive_conv_params,
+    # utils.py:1355-1373): 'sum' -> W + delta*alpha; 'mul' -> W * (sigmoid(delta)*alpha
+    # + (1-alpha)). Only consulted when `ada` is passed to __call__.
+    adaptive_conv_type: str = "sum"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 ada: "Optional[Tuple[jax.Array, jax.Array]]" = None) -> jax.Array:
         ndim = len(self.kernel_size)
         in_ch = x.shape[-1]
         fan_in = in_ch // self.feature_group_count
@@ -128,12 +135,19 @@ class Conv(nn.Module):
         # setting weight = weight_orig/sigma, THEN Conv2d_ws.forward standardizes it
         # (utils.py:887-931). Standardization is scale-invariant, so with both on the
         # SN division cancels — exactly the reference's effective behavior.
-        if self.use_sn:
-            kernel = _spectral_normalize(self, kernel)
-        if self.use_ws:
-            kernel = _standardize_kernel(kernel)
+        # AdaptiveConv mode bypasses both: the reference combines the delta with the
+        # RAW weight_orig (utils.py:1365-1373) and the forward then uses ada_weight
+        # directly — the SN pre-hook's normalized tensor is never read.
+        if ada is None:
+            if self.use_sn:
+                kernel = _spectral_normalize(self, kernel)
+            if self.use_ws:
+                kernel = _standardize_kernel(kernel)
 
         strides = (self.strides,) * ndim if isinstance(self.strides, int) else tuple(self.strides)
+        dilation = ((self.kernel_dilation,) * ndim
+                    if isinstance(self.kernel_dilation, int)
+                    else tuple(self.kernel_dilation))
         if ndim == 2:
             dn = ("NHWC", "HWIO", "NHWC")
         elif ndim == 3:
@@ -142,13 +156,47 @@ class Conv(nn.Module):
             raise ValueError("Conv supports 2D/3D only")
         padding = self.padding
         if padding == "SAME":
-            # torch pads symmetrically k//2 on both sides; XLA SAME pads asymmetrically
-            # for strided convs (right/bottom-heavy) — use explicit torch-style padding
-            # so strided layers match ported checkpoints exactly.
-            padding = tuple((k // 2, k // 2) for k in self.kernel_size)
+            # torch pads symmetrically d*(k//2) on both sides; XLA SAME pads
+            # asymmetrically for strided convs (right/bottom-heavy) — use explicit
+            # torch-style padding so strided layers match ported checkpoints exactly.
+            padding = tuple(d * (k // 2) for k, d in zip(self.kernel_size, dilation))
+            padding = tuple((p, p) for p in padding)
 
         dtype = self.dtype or x.dtype
-        if self.quant:
+        if ada is not None:
+            # Per-sample adaptive kernels (reference AdaptiveConv, utils.py:104-176 +
+            # assign_adaptive_conv_params :1355-1373). delta is (B, *taps, in, out)
+            # with taps possibly all-1 (broadcast over the base kernel's taps).
+            # Executed as ONE grouped conv with feature_group_count=B — batch folds
+            # into channels so the MXU sees a single large contraction instead of a
+            # per-sample python loop (the reference's B>1 path, utils.py:152-157).
+            if self.quant or self.feature_group_count != 1:
+                raise ValueError("ada is incompatible with quant/grouped Conv")
+            delta, alpha = ada
+            base = kernel[None].astype(jnp.float32)
+            d = delta.astype(jnp.float32)
+            if self.adaptive_conv_type == "sum":
+                k_eff = base + d * alpha
+            elif self.adaptive_conv_type == "mul":
+                k_eff = base * (jax.nn.sigmoid(d) * alpha + (1.0 - alpha))
+            else:
+                raise ValueError(
+                    f"unknown adaptive_conv_type {self.adaptive_conv_type!r}")
+            k_eff = jnp.broadcast_to(
+                k_eff, (x.shape[0], *self.kernel_size, in_ch, self.features))
+            b = x.shape[0]
+            # (B, *s, C) -> (1, *s, B*C); kernel (B, *k, in, out) -> (*k, in, B*out)
+            xg = jnp.moveaxis(x, 0, -2).reshape(1, *x.shape[1:-1], b * in_ch)
+            kg = jnp.moveaxis(k_eff, 0, -2).reshape(
+                *self.kernel_size, in_ch, b * self.features)
+            y = jax.lax.conv_general_dilated(
+                xg.astype(dtype), kg.astype(dtype), strides, padding,
+                rhs_dilation=dilation, dimension_numbers=dn,
+                feature_group_count=b,
+            )
+            y = jnp.moveaxis(
+                y.reshape(*y.shape[1:-1], b, self.features), -2, 0)
+        elif self.quant:
             act_scale = self.variable(
                 "quant", "act_scale", lambda: jnp.full((), 6.0, jnp.float32))
             if not self.is_initializing() and self.is_mutable_collection("quant"):
@@ -163,7 +211,8 @@ class Conv(nn.Module):
                              / 127.0, 1e-8)
             kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
             y = jax.lax.conv_general_dilated(
-                xq, kq, strides, padding, dimension_numbers=dn,
+                xq, kq, strides, padding, rhs_dilation=dilation,
+                dimension_numbers=dn,
                 feature_group_count=self.feature_group_count,
                 preferred_element_type=jnp.int32,
             )
@@ -174,7 +223,8 @@ class Conv(nn.Module):
             # in the VJP mix dtypes (f32 cotangent vs bf16 kernel) and fail to trace.
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype), strides, padding,
-                dimension_numbers=dn, feature_group_count=self.feature_group_count,
+                rhs_dilation=dilation, dimension_numbers=dn,
+                feature_group_count=self.feature_group_count,
             )
         if self.use_bias:
             bias = self.param(
@@ -353,9 +403,12 @@ class ResBlock(nn.Module):
     use_ws: bool = False
     use_sn: bool = False
     quant: bool = False  # int8-serve the two 3x3 convs (skip stays high precision)
+    # reference adaptive_conv_type when conv_mods are threaded (utils.py:1355-1373)
+    adaptive_conv_type: str = "sum"
 
     @nn.compact
-    def __call__(self, x, mods: Optional[Sequence[Mod]] = None):
+    def __call__(self, x, mods: Optional[Sequence[Mod]] = None,
+                 conv_mods: Optional[Sequence] = None, conv_alpha=1.0):
         k = (3,) * self.ndim
         # sibling rule: 2D + plain GN or 3D + adaptive GN -> conv_0 is WS'd (bias=True,
         # SN dropped); everything else keeps the SN hook and the original bias=False
@@ -385,13 +438,17 @@ class ResBlock(nn.Module):
 
         m0 = mods[0] if mods is not None else None
         m1 = mods[1] if mods is not None else None
+        cm = (lambda i: (conv_mods[i], conv_alpha)) if conv_mods is not None \
+            else (lambda i: None)
+        act = self.adaptive_conv_type
         out = NormAct(self.in_channels, self.norm, self.activation, name="norm_act_0")(out, m0)
         if commute_up:
             out = _resize_up(out, self.stride, self.resize)
-        out = Conv(self.out_channels, k, name="conv_0", **conv0_kw)(out)
+        out = Conv(self.out_channels, k, name="conv_0", adaptive_conv_type=act,
+                   **conv0_kw)(out, ada=cm(0))
         out = NormAct(self.out_channels, self.norm, self.activation, name="norm_act_1")(out, m1)
         out = Conv(self.out_channels, k, name="conv_1", quant=self.quant,
-                   **conv_kw)(out)
+                   adaptive_conv_type=act, **conv_kw)(out, ada=cm(1))
         if downsample:
             out = _resize_down(out, self.stride, self.resize)
 
@@ -399,7 +456,8 @@ class ResBlock(nn.Module):
         if upsample and not commute_up:
             skip = _resize_up(skip, self.stride, self.resize)
         if self.in_channels != self.out_channels:
-            skip = Conv(self.out_channels, (1,) * self.ndim, name="skip", **conv_kw)(skip)
+            skip = Conv(self.out_channels, (1,) * self.ndim, name="skip",
+                        adaptive_conv_type=act, **conv_kw)(skip, ada=cm(2))
         if commute_up:
             skip = _resize_up(skip, self.stride, self.resize)
         if downsample:
@@ -409,6 +467,16 @@ class ResBlock(nn.Module):
     @staticmethod
     def num_adaptive_norms(norm: str) -> int:
         return 2 if norm.startswith("ada_") else 0
+
+    @staticmethod
+    def conv_specs(in_channels: int, out_channels: int, ndim: int = 2):
+        """(out, in, kernel_shape) for each conv that consumes a conv_mod, in
+        consumption order (conv_0, conv_1[, skip]) — sizes ops.adaptive.ProjectorConv."""
+        specs = [(out_channels, in_channels, (3,) * ndim),
+                 (out_channels, out_channels, (3,) * ndim)]
+        if in_channels != out_channels:
+            specs.append((out_channels, in_channels, (1,) * ndim))
+        return specs
 
 
 class ConvBlock(nn.Module):

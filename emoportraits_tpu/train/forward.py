@@ -56,6 +56,7 @@ def make_gen_apply(
     head_pose_params: Any,
     face_parsing: Optional[FrozenNet] = None,  # img01 -> (B, H, W, 19) logits
     matting: Optional[FrozenNet] = None,       # img01 -> (B, H, W, 1) alpha
+    rtnet: Optional[FrozenNet] = None,  # (img01, keypoints) -> (B, H, W, 1) face prob
 ):
     train_cfg = cfg.train
 
@@ -77,15 +78,26 @@ def make_gen_apply(
             fp_apply, fp_params = face_parsing
             fp_params = aux.get("face_parsing_params", fp_params)
             if train_cfg.use_ibug_mask:
-                # ibug-branch semantics (va.py:324-349; the in-env path — the external
-                # RTNet falls back to exactly this parser arithmetic): FACE+hat labels,
+                # ibug-branch semantics (va.py:324-349): face term + hat labels,
                 # plus the dataset matte with its bottom half zeroed, threshold 0.6,
-                # then AND with the dataset matte.
+                # then AND with the dataset matte. The face term is the RTNet
+                # tanh-polar soft probability when use_old_fp=False (va.py:300-321
+                # get_lips path, models/rtnet.py) and the BiSeNet FACE_LABELS mask
+                # otherwise (va.py:326-328 — also the reference's except-fallback).
                 from ..models.face_parsing import BODY_LABELS, FACE_LABELS
 
-                def _ibug_refine(img, mask):
+                use_rtnet = (rtnet is not None and not train_cfg.use_old_fp
+                             and "source_keypoints" in batch)
+
+                def _ibug_refine(img, mask, keypoints):
                     logits = jax.lax.stop_gradient(fp_apply(fp_params, img))
-                    face = binary_face_mask(logits, labels_set=FACE_LABELS)
+                    if use_rtnet:
+                        rt_apply, rt_params = rtnet
+                        rt_params = aux.get("rtnet_params", rt_params)
+                        face = jax.lax.stop_gradient(
+                            rt_apply(rt_params, img, keypoints[..., :2]))
+                    else:
+                        face = binary_face_mask(logits, labels_set=FACE_LABELS)
                     hat = binary_face_mask(logits, labels_set=BODY_LABELS)
                     lower_zeroed = mask * (
                         jnp.arange(mask.shape[1])[None, :, None, None]
@@ -93,8 +105,10 @@ def make_gen_apply(
                     gate = ((face + hat + lower_zeroed) >= 0.6).astype(mask.dtype)
                     return mask * gate
 
-                src_mask = _ibug_refine(src, src_mask)
-                tgt_mask = _ibug_refine(tgt, tgt_mask)
+                src_mask = _ibug_refine(src, src_mask,
+                                        batch.get("source_keypoints"))
+                tgt_mask = _ibug_refine(tgt, tgt_mask,
+                                        batch.get("target_keypoints"))
             else:
                 src_face = binary_face_mask(
                     jax.lax.stop_gradient(fp_apply(fp_params, src)))
@@ -119,10 +133,14 @@ def make_gen_apply(
             mixing_theta = jax.lax.stop_gradient(
                 get_mixing_theta(src_theta[:, :3], tgt_theta[:, :3]))
 
+        # AdaptiveConv annealing alpha (step.py computes it from the iteration when
+        # gen_adaptive_use_annealing; defaults to fully-on when absent)
+        conv_alpha = aux.get("conv_alpha", 1.0)
         out, muts = model.apply(
             variables, src, src_mask, tgt, src_theta, tgt_theta,
             mixing_theta=mixing_theta, deterministic=False,
             method=model.generate,
+            conv_alpha=conv_alpha,
             match_neutral=train_cfg.match_neutral,
             # elastic-warped expression-net inputs (reference feeds
             # source/target_warp_aug to the embedder in training,
@@ -202,7 +220,7 @@ def make_gen_apply(
                 out["source_warped_keypoints_n"] = aligned_n
             canon_t = model.apply(
                 frozen, tgt, tgt_mask, out["target_pose_embed"], out["idt_embed"],
-                inv_theta_st, method=model.canonical_from_target)
+                inv_theta_st, conv_alpha, method=model.canonical_from_target)
             out["canon_volume_from_target"] = jax.lax.stop_gradient(canon_t)
 
         out["source_theta"] = src_theta

@@ -72,6 +72,8 @@ def tower_params_pytree(towers: "LossTowers", frozen_nets=None) -> Dict[str, Any
     tp = {f: getattr(towers, f) for f in TOWER_PARAM_FIELDS}
     if frozen_nets is not None and getattr(frozen_nets, "matting", None) is not None:
         tp["matting_params"] = frozen_nets.matting[1]
+    if frozen_nets is not None and getattr(frozen_nets, "rtnet", None) is not None:
+        tp["rtnet_params"] = frozen_nets.rtnet[1]
     return tp
 
 
@@ -319,11 +321,22 @@ def make_train_step(
                 **{f: tower_params[f] for f in TOWER_PARAM_FIELDS
                    if tower_params.get(f) is not None})
 
+        # AdaptiveConv annealing (va_arguments.py:277-280): alpha ramps 0 -> 1 over
+        # max_iter as a traced function of the step — one compiled program, no recompile
+        gen_aux = tower_params
+        if cfg.train.gen_adaptive_use_annealing \
+                and cfg.model.warp_generator.use_adaconv:
+            from ..ops.adaptive import annealing_alpha
+            gen_aux = dict(tower_params or {})
+            gen_aux["conv_alpha"] = annealing_alpha(
+                state.step, cfg.train.gen_adaptive_annealing_type,
+                cfg.train.gen_adaptive_annealing_max_iter)
+
         # ---------------- generator pass ----------------
         def gen_loss_fn(gen_params):
             out, new_sn = gen_apply(
                 {"params": gen_params, "sn_state": state.gen_sn_state}, batch, rng,
-                aux_params=tower_params)
+                aux_params=gen_aux)
             loss, losses = gen_losses(
                 cfg, out, batch,
                 lambda p, img: dis_apply((p, state.dis_sn_state), img),

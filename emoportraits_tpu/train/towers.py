@@ -36,6 +36,9 @@ class FrozenNets(NamedTuple):
     mask refinement + mixing matting (va.py:297-361, :682-684)."""
     face_parsing: Optional[Tuple] = None  # (apply, params): img01 -> (B,H,W,19) logits
     matting: Optional[Tuple] = None       # (apply, params): img01 -> (B,H,W,1) alpha
+    # RTNet-role tanh-polar parser for the use_old_fp=False ibug branch
+    # (va.py:300-321): (apply, params): (img01, keypoints) -> (B,H,W,1) face prob
+    rtnet: Optional[Tuple] = None
 
 
 def build_loss_towers(
@@ -150,6 +153,19 @@ def build_loss_towers(
         kw["face_parsing_params"] = fp_params
         face_parsing = (fp_apply, fp_params)
 
+    # --- RTNet tanh-polar parser (ibug use_old_fp=False branch, va.py:300-321) ---
+    rtnet = None
+    if cfg.train.use_mix_mask and cfg.train.use_ibug_mask \
+            and not cfg.train.use_old_fp:
+        from ..models.rtnet import RTNetParser, tiny_rtnet
+
+        rt_net = tiny_rtnet() if tiny else RTNetParser()
+        rt_params = variables.get("rtnet") or jax.jit(rt_net.init)(
+            keys[7], init_img,
+            jnp.asarray([[8.0, 8.0, 56.0, 56.0]], jnp.float32))
+        rtnet = (lambda p, img, kp, _n=rt_net: _n.apply(
+            p, img, kp, method=_n.face_mask_from_keypoints), rt_params)
+
     # --- matting (MODNet role): mixing-image mask (va.py:682-684) ---
     matting = None
     if cfg.train.pred_mixing and cfg.train.use_mix_mask:
@@ -167,4 +183,5 @@ def build_loss_towers(
                 keys[6], init_img)
             matting = (lambda p, img, _n=mt_net: _n.apply(p, img), mt_params)
 
-    return LossTowers(**kw), FrozenNets(face_parsing=face_parsing, matting=matting)
+    return LossTowers(**kw), FrozenNets(face_parsing=face_parsing, matting=matting,
+                                        rtnet=rtnet)

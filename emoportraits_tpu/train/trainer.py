@@ -83,7 +83,8 @@ class Trainer:
         gen_apply = make_gen_apply(
             cfg, self.model, towers.head_pose_apply, towers.head_pose_params,
             face_parsing=self.frozen_nets.face_parsing,
-            matting=self.frozen_nets.matting)
+            matting=self.frozen_nets.matting,
+            rtnet=self.frozen_nets.rtnet)
         self._gen_apply = jax.jit(gen_apply)  # also drives the debug-visuals grid
         dis_apply = lambda variables, img: self.dis.apply(variables, img)
 
