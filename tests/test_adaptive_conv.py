@@ -141,8 +141,10 @@ def test_warp_generator_adaconv_end_to_end():
                                cfg.max_channels))
     params = gen.init(jax.random.PRNGKey(0), embed)
     assert "projector_conv" in params["params"]
-    warp1, _ = jax.jit(lambda p, e: gen.apply(p, e, 1.0))(params, embed)
-    warp0, _ = jax.jit(lambda p, e: gen.apply(p, e, 0.0))(params, embed)
+    # alpha is a traced argument — ONE compile serves both evaluations
+    apply = jax.jit(lambda p, e, a: gen.apply(p, e, a))
+    warp1, _ = apply(params, embed, 1.0)
+    warp0, _ = apply(params, embed, 0.0)
     assert np.isfinite(np.asarray(warp1)).all()
     assert float(jnp.abs(warp1 - warp0).max()) > 1e-6
 

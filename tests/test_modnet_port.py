@@ -168,6 +168,7 @@ class TMODNet(nn.Module):
         return torch.sigmoid(f)
 
 
+@pytest.mark.slow
 def test_port_modnet_parity():
     from test_port import _randomize_bn_stats
 

@@ -7,6 +7,7 @@ grown by a mutable=["quant"] calibration pass)."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ def test_quant_conv_matches_fp():
     assert rel < 0.05, f"int8 conv relative error {rel}"
 
 
+@pytest.mark.slow
 def test_decoder_serve_int8_snr():
     """End-to-end: the int8 decoder's sigmoid image stays close to the fp32 one
     (PSNR gate) with identical parameters."""

@@ -1,5 +1,6 @@
 """Stage-2 enhancer + volume renderer tests."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,7 @@ def test_volume_renderer_shapes():
     assert feat2.shape == feat.shape
 
 
+@pytest.mark.slow
 def test_stage2_full_loss_step():
     """The complete stage-2 training step (va_losses_and_visuals_two.py:14-113):
     main D + second (mixing) D, vgg19, L1_ffhq + diff-masked L1, the cycle_stage2

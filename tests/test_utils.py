@@ -1,5 +1,6 @@
 """Tests for profiling, visuals, and the closed-form theta-from-keypoints fit."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +91,7 @@ def test_stills_and_video_datasets(tmp_path):
     assert len(frames) == 3 and frames[0].shape == (16, 16, 3)
 
 
+@pytest.mark.slow
 def test_match_neutral_branch():
     from emoportraits_tpu.config import tiny_config
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
