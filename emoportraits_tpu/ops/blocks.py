@@ -363,6 +363,55 @@ def _resize_down(x: jax.Array, stride: int, mode: str) -> jax.Array:
     raise ValueError(f"unsupported downsampling resize {mode!r}")
 
 
+class TrainBatchNorm(nn.Module):
+    """Trainable BatchNorm for generator blocks — the SyncBatchNorm role
+    (reference: norm_layer_type='bn' converts generator norms to SyncBN when >1 GPU,
+    local_encoder.py:76-79, unet_3d.py:69-72, decoder.py:66-68; prod uses GN).
+
+    TPU-native sync: batch/spatial statistics below are plain jnp means — under
+    pjit/GSPMD data parallelism with the batch sharded over the mesh, XLA lowers
+    them to the cross-device all-reduce automatically, so this IS synchronized BN
+    over the GLOBAL batch with no explicit collective code (apex/SyncBN equivalent).
+
+    Running statistics (torch momentum semantics: new = (1-m)*old + m*batch, unbiased
+    var) live in the SAME mutable net-state collection as spectral norm's power
+    iteration ("sn_state"), so the existing train-step threading, checkpointing, and
+    FSDP replication rules apply unchanged. Mutable collection == training (batch
+    stats + EMA update); frozen collection == eval (running stats), matching torch
+    train()/eval()."""
+    channels: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        xs = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        r_mean = self.variable("sn_state", "running_mean",
+                               lambda: jnp.zeros((self.channels,), jnp.float32))
+        r_var = self.variable("sn_state", "running_var",
+                              lambda: jnp.ones((self.channels,), jnp.float32))
+        training = self.is_mutable_collection("sn_state")
+        if training:
+            mean = jnp.mean(xs, axes)
+            var = jnp.mean(jnp.square(xs), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size // self.channels
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                r_mean.value = jax.lax.stop_gradient(
+                    (1.0 - m) * r_mean.value + m * mean)
+                r_var.value = jax.lax.stop_gradient(
+                    (1.0 - m) * r_var.value + m * unbiased)
+        else:
+            mean, var = r_mean.value, r_var.value
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        xn = (xs - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return xn.astype(orig_dtype)
+
+
 class NormAct(nn.Module):
     """norm -> activation, optionally adaptive."""
     channels: int
@@ -373,6 +422,8 @@ class NormAct(nn.Module):
     def __call__(self, x, mod: Optional[Mod] = None):
         if self.norm.startswith("ada_"):
             x = AdaGroupNorm(self.channels, name="norm")(x, mod)
+        elif self.norm == "bn":
+            x = TrainBatchNorm(self.channels, name="norm")(x)
         elif self.norm != "none":
             x = GroupNorm(self.channels, name="norm")(x)
         return activation_fn(self.activation)(x)
