@@ -27,7 +27,8 @@ from ..models.stage1 import AvatarState, VolumetricAvatar
 class InferenceWrapper:
     def __init__(self, cfg: ExperimentConfig, variables, head_pose_variables=None,
                  theta_momentum: float = 0.0, device=None,
-                 stage2_variables=None):
+                 stage2_variables=None, face_parsing_variables=None,
+                 auto_crop: bool = False, crop_smooth: bool = False):
         self.cfg = cfg
         self.model = VolumetricAvatar(cfg.model)
         self.head_pose = HeadPoseRegressor()
@@ -54,6 +55,23 @@ class InferenceWrapper:
         self._source_theta = None
         self._state: Optional[AvatarState] = None
         self._crop_fn: Optional[Callable] = None
+        # Built-in preprocessing from our frozen BiSeNet parser (replaces the
+        # reference's external mediapipe detector + face_idt source mask,
+        # infer.py:379-424): auto_crop enables detection+square-crop of raw
+        # images; the parser also supplies the source face mask in set_source
+        # when the caller passes none.
+        self._parser = None
+        if face_parsing_variables is not None:
+            from ..models.face_parsing import FaceParser
+
+            self._parser = FaceParser(
+                jax.device_put(face_parsing_variables, self.device))
+            if auto_crop:
+                from .face_crop import make_crop_fn
+
+                self._crop_fn = make_crop_fn(
+                    self._parser.variables,
+                    image_size=cfg.train.image_size, smooth=crop_smooth)
 
         m = self.model
         self._encode = jax.jit(
@@ -128,10 +146,16 @@ class InferenceWrapper:
                    source_mask: Optional[np.ndarray] = None) -> None:
         """Encode the avatar once (reference SOURCE path, infer.py:379-507)."""
         src = self._prep(source_image)
-        if source_mask is None:
-            mask = jnp.ones_like(src[..., :1])
-        else:
+        if source_mask is not None:
             mask = self._prep_mask(source_mask, self.cfg.train.image_size)
+        elif self._parser is not None:
+            # face_idt source mask, reference infer.py:410-424: binary
+            # face/hair/neck mask from the parser (threshold semantics of
+            # `(face_mask_source > 0.6).float()`)
+            mask = self._parser(src.astype(jnp.float32))["mask"].astype(
+                self._dtype)
+        else:
+            mask = jnp.ones_like(src[..., :1])
         theta = self._estimate_theta(src)
         self._state = self._encode(self.variables, src, mask, theta)
         self._source_theta = theta
@@ -152,10 +176,16 @@ class InferenceWrapper:
         if stage_two or self._stage2 is not None:
             img, img_f = self._drive_s2(self.variables, self._state, drv, theta)
             if self._stage2 is not None:
-                # additive-residual refinement; full-frame mask unless a matting/
-                # parsing net is plugged in (reference recomputes MODNet x BiSeNet
-                # masks, volumetric_avatar_two.py:611-614)
-                img = self._stage2(img, jnp.ones_like(img[..., :1]))
+                # additive-residual refinement; the parser's face mask gates the
+                # residual when available, full-frame otherwise (reference
+                # recomputes MODNet x BiSeNet masks,
+                # volumetric_avatar_two.py:611-614)
+                if self._parser is not None:
+                    s2_mask = self._parser(img.astype(jnp.float32))[
+                        "mask"].astype(img.dtype)
+                else:
+                    s2_mask = jnp.ones_like(img[..., :1])
+                img = self._stage2(img, s2_mask)
                 return img
             return img, img_f
         return self._drive(self.variables, self._state, drv, theta)

@@ -93,3 +93,38 @@ def test_stage2_cascade():
     out = np.asarray(w.forward((rng.random((64, 64, 3)) * 255).astype(np.uint8)))
     assert out.shape == (1, 64, 64, 3)
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_parser_supplies_source_mask_and_crop(wrapper):
+    """When face-parsing variables are wired, set_source derives the face mask
+    from the parser (reference infer.py:410-424) and auto_crop preprocesses raw
+    frames of ANY resolution into (S, S) crops."""
+    calls = []
+
+    class FakeParser:
+        variables = None
+
+        def __call__(self, img):
+            calls.append(img.shape)
+            return {"mask": jnp.ones_like(img[..., :1]) * 0.5}
+
+    wrapper._parser = FakeParser()
+    rng = np.random.default_rng(5)
+    wrapper.set_source((rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    assert calls == [(1, 64, 64, 3)]  # parser ran on the prepped source
+    out = np.asarray(wrapper.forward(
+        (rng.random((64, 64, 3)) * 255).astype(np.uint8)))
+    assert out.shape == (1, 64, 64, 3)
+    wrapper._parser = None
+
+    # auto-crop path: raw 100x80 frame -> detector+cropper -> (64, 64) prep
+    from emoportraits_tpu.infer.face_crop import make_crop_fn
+    from emoportraits_tpu.models.face_parsing import BiSeNet
+
+    pvars = BiSeNet().init(KEY, jnp.zeros((1, 32, 32, 3)))
+    wrapper.set_crop_fn(make_crop_fn(pvars, image_size=64, detect_size=32))
+    wrapper.set_source((rng.random((100, 80, 3)) * 255).astype(np.uint8))
+    out = np.asarray(wrapper.forward(
+        (rng.random((100, 80, 3)) * 255).astype(np.uint8)))
+    assert out.shape == (1, 64, 64, 3)
+    wrapper._crop_fn = None
