@@ -209,6 +209,22 @@ class Trainer:
         gen_params = (self.state.ema_params if self.state.ema_params is not None
                       else self.state.gen_params)
         variables = {"params": gen_params, "sn_state": self.state.gen_sn_state}
+        # standing BN statistics before eval (reference utils/stats_calc.py:
+        # momentum=1 hook accumulation, then averaged): replace every BN
+        # running_mean/var with the MEAN of per-batch stats over a few
+        # calibration batches. No-op for prod (GN — no BN leaves).
+        from ..utils.bn_stats import has_batch_norm, recalculate_bn_stats
+
+        if num_batches > 0 and has_batch_norm(variables):
+            cal = []
+            for _ in range(min(4, num_batches)):
+                hb = {k: jnp.asarray(v)
+                      for k, v in next(self.train_stream).items()
+                      if k in self._BATCH_KEYS}
+                cal.append(hb)
+            variables = recalculate_bn_stats(
+                lambda v, b: self._gen_apply(v, b, jax.random.PRNGKey(0))[1],
+                variables, cal)
         from ..losses.metrics import ms_ssim as ms_ssim_metric
 
         fv = self.towers.face_vector_embed
