@@ -109,6 +109,76 @@ def geometric_crop(
     return img, mask, keypoints
 
 
+def _affine_sample(img: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """Bilinear resample of HWC `img` through the 2x3 inverse affine `mat`
+    (output pixel -> source pixel), zero border (albumentations border_mode=0)."""
+    h, w = img.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sx = mat[0, 0] * xx + mat[0, 1] * yy + mat[0, 2]
+    sy = mat[1, 0] * xx + mat[1, 1] * yy + mat[1, 2]
+    inside = ((sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1))[..., None]
+    sx = np.clip(sx, 0, w - 1)
+    sy = np.clip(sy, 0, h - 1)
+    y0 = np.floor(sy).astype(int)
+    x0 = np.floor(sx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (sy - y0)[..., None]
+    fx = (sx - x0)[..., None]
+    out = (img[y0, x0] * (1 - fy) * (1 - fx) + img[y0, x1] * (1 - fy) * fx
+           + img[y1, x0] * fy * (1 - fx) + img[y1, x1] * fy * fx)
+    return (out * inside).astype(img.dtype)
+
+
+def random_rotate_pair(arrays: Tuple[np.ndarray, ...], rng: np.random.Generator,
+                       limit_deg: float,
+                       keypoints: Optional[np.ndarray] = None):
+    """Consistent random rotation of (img, mask, ...) about the center, zero fill
+    (reference `rot_aug` A.Rotate(limit=rot_aug_angle, value=0),
+    voxceleb2hq_pairs.py:106-109,267-276; prod rot_aug_angle=0 -> off). Unlike the
+    reference compose (which has no keypoint_params), keypoints in [-1,1] are
+    remapped through the same rotation so downstream keypoint losses stay valid."""
+    if limit_deg <= 0:
+        return arrays, keypoints
+    ang = np.deg2rad(rng.uniform(-limit_deg, limit_deg))
+    c, s = np.cos(ang), np.sin(ang)
+    h, w = arrays[0].shape[:2]
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    # inverse map: rotate output coords by -ang about the center
+    inv = np.array([[c, s, cx - c * cx - s * cy],
+                    [-s, c, cy + s * cx - c * cy]], np.float32)
+    out = tuple(_affine_sample(a, inv) for a in arrays)
+    if keypoints is not None:
+        kp = keypoints.astype(np.float32).copy()
+        u, v = kp[..., 0].copy(), kp[..., 1].copy()  # [-1,1], square frame
+        kp[..., 0] = c * u - s * v
+        kp[..., 1] = s * u + c * v
+        keypoints = kp
+    return out, keypoints
+
+
+def random_shift_pair(arrays: Tuple[np.ndarray, ...], rng: np.random.Generator,
+                      shift_limit: float, p: float,
+                      keypoints: Optional[np.ndarray] = None):
+    """Consistent random translation by up to `shift_limit` of the side length,
+    zero fill (reference `rand_crop` A.ShiftScaleRotate(shift_limit, scale=0,
+    rotate=0, border_mode=0, p=rand_shift_prob), voxceleb2hq_pairs.py:111-117,
+    278-287; prod rand_shift_prob=0 -> off). Keypoints are remapped."""
+    if shift_limit <= 0 or rng.random() >= p:
+        return arrays, keypoints
+    h, w = arrays[0].shape[:2]
+    dx = rng.uniform(-shift_limit, shift_limit) * w
+    dy = rng.uniform(-shift_limit, shift_limit) * h
+    inv = np.array([[1.0, 0.0, -dx], [0.0, 1.0, -dy]], np.float32)
+    out = tuple(_affine_sample(a, inv) for a in arrays)
+    if keypoints is not None:
+        kp = keypoints.astype(np.float32).copy()
+        kp[..., 0] = kp[..., 0] + 2.0 * dx / w
+        kp[..., 1] = kp[..., 1] + 2.0 * dy / h
+        keypoints = kp
+    return out, keypoints
+
+
 def elastic_warp(img: np.ndarray, rng: np.random.Generator,
                  grid: int = 5, magnitude: float = 0.05) -> np.ndarray:
     """DeepFaceLab-style random elastic warp (reference augment_via_warp,

@@ -22,6 +22,8 @@ from .augment import (
     elastic_warp,
     geometric_crop,
     random_grayscale,
+    random_rotate_pair,
+    random_shift_pair,
 )
 from .records import ShardedClipStore
 
@@ -31,11 +33,18 @@ class PairDataset:
 
     def __init__(self, store: ShardedClipStore, image_size: int, *,
                  augment: bool = True, augment_geometric: bool = True, seed: int = 0,
+                 rot_aug_angle: float = 0.0, shift_limit: float = 0.0,
+                 rand_shift_prob: float = 0.0,
                  process_index: int = 0, process_count: int = 1):
         self.store = store
         self.image_size = image_size
         self.augment = augment
         self.augment_geometric = augment_geometric
+        # reference rot_aug / rand_crop knobs (voxceleb2hq_pairs.py:40-47; all 0
+        # in prod -> off): rotation limit in degrees, shift as a side fraction
+        self.rot_aug_angle = rot_aug_angle
+        self.shift_limit = shift_limit
+        self.rand_shift_prob = rand_shift_prob
         self.rng = np.random.default_rng(seed + process_index)
         # per-host shard of the clip list (replaces DistributedSampler)
         n = len(store)
@@ -80,6 +89,23 @@ class PairDataset:
                             tkp = tkp.copy()
                             skp[..., 0] *= -1.0  # keypoints live in [-1, 1]
                             tkp[..., 0] *= -1.0
+                    # pair-consistent rotate then shift (reference applies rot_aug
+                    # then rand_crop to the imgs+masks dict after the flip,
+                    # voxceleb2hq_pairs.py:267-287)
+                    if self.rot_aug_angle > 0 or (
+                            self.shift_limit > 0 and self.rand_shift_prob > 0):
+                        kp = (np.stack([skp, tkp]) if skp is not None else None)
+                        arrs = (src, tgt, smask, tmask)
+                        arrs, kp = random_rotate_pair(arrs, self.rng,
+                                                      self.rot_aug_angle,
+                                                      keypoints=kp)
+                        arrs, kp = random_shift_pair(arrs, self.rng,
+                                                     self.shift_limit,
+                                                     self.rand_shift_prob,
+                                                     keypoints=kp)
+                        src, tgt, smask, tmask = arrs
+                        if kp is not None:
+                            skp, tkp = kp[0], kp[1]
                     src = random_grayscale(color_jitter(src, self.rng), self.rng)
                     tgt = random_grayscale(color_jitter(tgt, self.rng), self.rng)
                     out["source_warp_aug"] = elastic_warp(src, self.rng)

@@ -71,6 +71,62 @@ def test_augment_shapes_and_ranges():
     assert np.allclose(f1, img[:, ::-1])
 
 
+def test_random_rotate_and_shift_pairs():
+    """Rotate/shift augs (reference rot_aug/rand_crop composes,
+    voxceleb2hq_pairs.py:106-117): pair-consistent, zero border, keypoints
+    remapped with the same transform."""
+    from emoportraits_tpu.data.augment import (random_rotate_pair,
+                                               random_shift_pair)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((33, 33, 3)).astype(np.float32)
+    mask = np.ones((33, 33, 1), np.float32)
+    kp = np.stack([np.array([[0.5, 0.25, 0.1]], np.float32)])
+
+    # shift by an exact integer number of pixels -> pure translation
+    class FixedRng:
+        def uniform(self, lo, hi):
+            return 8.0 / 33.0  # dx = dy = +8 px
+        def random(self):
+            return 0.0  # always fire
+
+    (s_img, s_mask), skp = random_shift_pair((img, mask), FixedRng(),
+                                             shift_limit=0.5, p=1.0,
+                                             keypoints=kp)
+    np.testing.assert_allclose(s_img[8:, 8:], img[:-8, :-8], atol=1e-6)
+    assert (s_img[:8] == 0).all() and (s_mask[:, :8] == 0).all()  # zero border
+    np.testing.assert_allclose(skp[0, 0, :2],
+                               kp[0, 0, :2] + 2.0 * 8.0 / 33.0, atol=1e-6)
+
+    # rotation: identity at angle 0 sampling path is skipped; check keypoint
+    # rotation matches the image rotation via a bright dot
+    dot = np.zeros((65, 65, 3), np.float32)
+    dot[16, 48] = 1.0  # (x=48, y=16) -> kp (+0.5, -0.5) in [-1,1]
+    kp2 = np.array([[[0.5, -0.5]]], np.float32)
+
+    class Rot90:
+        def uniform(self, lo, hi):
+            return 90.0
+
+    (r_img,), rkp = random_rotate_pair((dot,), Rot90(), limit_deg=90.0,
+                                       keypoints=kp2)
+    iy, ix = np.unravel_index(np.argmax(r_img[..., 0]), r_img[..., 0].shape)
+    ex = (rkp[0, 0, 0] + 1) / 2 * 64
+    ey = (rkp[0, 0, 1] + 1) / 2 * 64
+    assert abs(ix - ex) <= 1 and abs(iy - ey) <= 1
+    # no-op paths return inputs unchanged
+    out, k = random_rotate_pair((img,), rng, 0.0, keypoints=kp)
+    assert out[0] is img and k is kp
+
+
+def test_pair_dataset_rotate_shift_knobs(store):
+    ds = PairDataset(store, image_size=64, augment=True, seed=3,
+                     rot_aug_angle=10.0, shift_limit=0.1, rand_shift_prob=1.0)
+    batch = next(ds.batches(2))
+    assert batch["source_img"].shape == (2, 64, 64, 3)
+    assert np.isfinite(batch["source_keypoints"]).all()
+
+
 def test_prefetcher_passthrough():
     from emoportraits_tpu.data.pairs import Prefetcher
 
