@@ -236,6 +236,9 @@ class LossWeights:
     # va_losses_and_visuals.py:88-96)
     neutral_expr_l1: float = 0.0
     vgg19_neutral: float = 0.0
+    # MobileFaceNet landmark loss on retina-box face crops (default 0;
+    # assembly va_losses_and_visuals.py:405-428, tower init :765-772)
+    landmarks: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -96,6 +96,80 @@ class MobileFaceNetFeatures(nn.Module):
         return feats
 
 
+def crop_faces_for_landmarks(images: jax.Array, boxes: jax.Array,
+                             out_size: int = 112) -> jax.Array:
+    """Batched `prepare_face_for_landmarks` (reference
+    utils/prepare_for_landmark.py:36-83): square crop of side
+    int(min(w,h)*1.2) centered on the face box, zero fill outside the frame,
+    nearest resize to `out_size` (torch F.interpolate default mode) — the
+    input prep for the MobileFaceNet landmark loss
+    (va_losses_and_visuals.py:405-428). The reference loops per sample in
+    python; this is one fused gather, jit/grad-safe.
+
+    images: (N, H, W, C) float. boxes: (N, 4+) `[x1, y1, x2, y2, ...]` pixel
+    coords (retina-face layout; extra confidence columns ignored).
+    """
+    n, H, W, _ = images.shape
+    b = boxes[:, :4].astype(jnp.float32)
+    w = b[:, 2] - b[:, 0] + 1.0
+    h = b[:, 3] - b[:, 1] + 1.0
+    size = jnp.floor(jnp.minimum(w, h) * 1.2).astype(jnp.int32)
+    size = jnp.maximum(size, 1)
+    cx = b[:, 0] + jnp.floor(w / 2.0)
+    cy = b[:, 1] + jnp.floor(h / 2.0)
+    x0 = cx - (size // 2).astype(jnp.float32)
+    y0 = cy - (size // 2).astype(jnp.float32)
+
+    def one(img, x0f, y0f, sz):
+        # crop index per output pixel: torch nearest src = floor(j*in/out)
+        k = (jnp.arange(out_size, dtype=jnp.int32) * sz) // out_size
+
+        def axis(v0f, limit):
+            # reference clamps, pads and truncates per side
+            # (prepare_for_landmark.py:57-76): content starts at int(max(0,v0))
+            # placed at pad offset int(max(0,-v0)), ends at int(min(limit, v0+size))
+            iv1 = jnp.floor(jnp.maximum(v0f, 0.0)).astype(jnp.int32)
+            dv = jnp.floor(jnp.maximum(-v0f, 0.0)).astype(jnp.int32)
+            iv2 = jnp.floor(
+                jnp.minimum(jnp.float32(limit), v0f + sz)).astype(jnp.int32)
+            src = iv1 + k - dv
+            valid = (k >= dv) & (src < iv2)
+            return jnp.clip(src, 0, limit - 1), valid
+
+        sx, vx = axis(x0f, W)
+        sy, vy = axis(y0f, H)
+        crop = img[sy[:, None], sx[None, :], :]
+        return crop * (vy[:, None] & vx[None, :])[..., None].astype(img.dtype)
+
+    return jax.vmap(one)(images, x0, y0, size)
+
+
+# layer weights of the 'landmarks' perceptual config
+# (va_losses_and_visuals.py:766-772)
+LANDMARK_LAYERS = ("conv1", "conv2_dw", "conv_23", "conv_3", "conv_34",
+                   "conv_4", "conv_45", "conv_5", "conv_6_sep", "output_layer")
+LANDMARK_WEIGHTS = (0.05, 0.05, 0.05, 0.05, 0.1, 0.1, 0.3, 0.8, 1.0, 1.0)
+
+
+def landmark_loss(tower_apply, tower_params, pred: jax.Array,
+                  target: jax.Array, boxes: jax.Array):
+    """The reference 'landmarks' loss (va_losses_and_visuals.py:405-428):
+    crop pred/target to the face box, run the frozen landmark tower, L1 over
+    its taps (num_scales=1, no normalization), and return the final-layer
+    outputs for the stickman visuals. Returns (loss, (pred_lm, target_lm))."""
+    from .perceptual import perceptual_loss
+
+    pa = crop_faces_for_landmarks(pred, boxes)
+    ta = crop_faces_for_landmarks(target, boxes)
+    loss = perceptual_loss(tower_apply, tower_params, pa, ta, num_scales=1,
+                           layers=LANDMARK_LAYERS,
+                           layer_weights=LANDMARK_WEIGHTS,
+                           normalization="none")
+    pl = tower_apply(tower_params, pa)["output_layer"]
+    tl = tower_apply(tower_params, ta)["output_layer"]
+    return loss, (pl.reshape(pl.shape[0], -1), tl.reshape(tl.shape[0], -1))
+
+
 def make_emotion_tower(rng: jax.Array, image_size: int = 55):
     tower = EmotionVGG()
     params = tower.init(rng, jnp.zeros((1, image_size, image_size, 3)))

@@ -56,6 +56,10 @@ class LossTowers(NamedTuple):
     # BiSeNet parsing logits: (params, img01) -> (B, H, W, 19) (models/face_parsing.py)
     face_parsing_apply: Optional[Callable] = None
     face_parsing_params: Any = None
+    # MobileFaceNet landmark feature taps: (params, crop112) -> {tap: act}
+    # (losses/emotion.py; reference 'landmarks' perceptual config)
+    landmark_apply: Optional[Callable] = None
+    landmark_params: Any = None
 
 
 # LossTowers fields that hold parameter PYTREES (vs apply fns). These can be passed
@@ -63,7 +67,8 @@ class LossTowers(NamedTuple):
 # are inlined into the HLO as literals, and the frozen towers sum to hundreds of MB —
 # big enough to blow past compile-payload limits and bloat the compilation cache.
 TOWER_PARAM_FIELDS = ("vgg19_params", "vggface_params", "head_pose_params",
-                      "gaze_params", "face_vector_params", "face_parsing_params")
+                      "gaze_params", "face_vector_params", "face_parsing_params",
+                      "landmark_params")
 
 
 def tower_params_pytree(towers: "LossTowers", frozen_nets=None) -> Dict[str, Any]:
@@ -172,6 +177,22 @@ def gen_losses(
         kp = jax.lax.stop_gradient(batch["target_keypoints"][..., :2])
         losses["gaze"] = w.gaze * gaze_loss(
             towers.gaze_apply, towers.gaze_params, pred, target, kp)
+
+    # --- landmark loss (w=0 in prod; va_losses_and_visuals.py:405-428): crop
+    #     pred/target to the face box, L1 over frozen MobileFaceNet taps. Boxes come
+    #     from the target's 68-keypoint extrema instead of a live RetinaFace pass
+    #     (same substitution as the RTNet RoIs — the detector is not a train-time
+    #     dependency here) ---
+    if (towers.landmark_apply is not None and w.landmarks > 0
+            and "target_keypoints" in batch):
+        from ..losses.emotion import landmark_loss
+
+        kp = jax.lax.stop_gradient(batch["target_keypoints"][..., :2])
+        xy = (kp + 1.0) * 0.5 * (pred.shape[1] - 1)
+        boxes = jnp.concatenate([xy.min(axis=1), xy.max(axis=1)], axis=-1)
+        lm, _ = landmark_loss(towers.landmark_apply, towers.landmark_params,
+                              pred, jax.lax.stop_gradient(target), boxes)
+        losses["landmarks"] = w.landmarks * lm
 
     # --- resnet18_fv_mix (prod w=35): cosine-match frozen face vectors of the aligned
     #     MIXING crop vs the aligned target crop (va_losses_and_visuals.py:324-355) ---

@@ -57,7 +57,7 @@ def build_loss_towers(
     variables = variables or {}
     w = cfg.weights
     s = cfg.train.image_size
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 9)
     init_img = jnp.zeros((1, min(s, 64 if tiny else s), min(s, 64 if tiny else s), 3),
                          jnp.float32)
 
@@ -112,6 +112,16 @@ def build_loss_towers(
         kw["gaze_apply"] = gaze_net.apply
         kw["gaze_params"] = variables.get("gaze") or jax.jit(gaze_net.init)(
             keys[3], jnp.zeros((1, 36, 60, 3), jnp.float32))
+
+    # --- landmark tower (w=0 in prod; 'landmarks' perceptual config,
+    #     va_losses_and_visuals.py:765-772) ---
+    if w.landmarks > 0:
+        from ..losses.emotion import MobileFaceNetFeatures
+
+        lm_net = MobileFaceNetFeatures()
+        kw["landmark_apply"] = lm_net.apply
+        kw["landmark_params"] = variables.get("landmark") or jax.jit(lm_net.init)(
+            keys[8], jnp.zeros((1, 112, 112, 3), jnp.float32))
 
     # --- face-vector recognizer (resnet18_fv_mix) ---
     if w.resnet18_fv_mix > 0:

@@ -35,6 +35,60 @@ def test_emotion_tower_as_perceptual_backbone():
     assert float(same) < 1e-6
 
 
+def test_crop_faces_for_landmarks_golden_vs_reference():
+    """Golden vs the REAL reference utils/prepare_for_landmark.py: same boxes,
+    same images -> identical 112px crops (zero padding + nearest resize)."""
+    import pytest
+
+    from ref_oracle import install_stubs, reference_available
+
+    from emoportraits_tpu.losses.emotion import crop_faces_for_landmarks
+
+    if not reference_available():
+        pytest.skip("reference not present")
+    install_stubs()
+    import torch
+
+    from utils.prepare_for_landmark import prepare_face_for_landmarks
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((4, 96, 80, 3)).astype(np.float32)
+    boxes = np.array([
+        [10, 12, 60, 70, 0.9],     # interior box
+        [-8, -4, 40, 50, 0.8],     # overflows top-left -> zero pad
+        [30, 40, 100, 120, 0.7],   # overflows bottom-right
+        [0, 0, 0, 0, 1.0],         # the reference's degenerate fallback box
+    ], np.float32)
+
+    ref = prepare_face_for_landmarks(
+        torch.from_numpy(imgs).permute(0, 3, 1, 2),
+        [torch.from_numpy(b) for b in boxes])
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    got = np.asarray(crop_faces_for_landmarks(
+        jnp.asarray(imgs), jnp.asarray(boxes)))
+    assert got.shape == ref.shape == (4, 112, 112, 3)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_landmark_loss_assembly():
+    from emoportraits_tpu.losses.emotion import landmark_loss
+
+    apply_fn, params = make_landmark_tower(KEY, image_size=112)
+    rng = np.random.default_rng(1)
+    pred = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    tgt = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    boxes = jnp.asarray([[8, 8, 48, 52], [4, 10, 40, 44]], jnp.float32)
+    loss, (pl, tl) = landmark_loss(apply_fn, params, pred, tgt, boxes)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert pl.shape == tl.shape == (2, 128)
+    same, _ = landmark_loss(apply_fn, params, pred, pred, boxes)
+    assert float(same) < 1e-6
+    # differentiable through the crop gather
+    g = jax.grad(lambda p: landmark_loss(apply_fn, params, p, tgt, boxes)[0])(pred)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
 def test_landmark_tower_taps():
     apply_fn, params = make_landmark_tower(KEY, image_size=64)
     x = jnp.ones((1, 64, 64, 3))

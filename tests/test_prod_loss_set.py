@@ -270,6 +270,47 @@ def test_second_dis_and_stylegan_d_step():
     assert d2_delta > 0 and sg_delta > 0
 
 
+def test_landmarks_loss_in_step():
+    """Optional 'landmarks' loss (w=0 in prod; va_losses_and_visuals.py:405-428):
+    with a nonzero weight the step crops the face box from target keypoints and
+    runs the frozen MobileFaceNet tap L1."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, weights=dataclasses.replace(cfg.weights, landmarks=20.0))
+    key = jax.random.PRNGKey(0)
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    b, s = 2, cfg.train.image_size
+    rng = np.random.default_rng(3)
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_keypoints": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (b, 68, 2)).astype(np.float32)),
+    }
+    theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    gen_vars = model.init(key, batch["source_img"], batch["source_mask"],
+                          batch["target_img"], theta, theta)
+    dis_vars = dis.init(key, batch["target_img"])
+    towers, frozen = build_loss_towers(cfg, key, tiny=True)
+    assert towers.landmark_apply is not None
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params,
+                               face_parsing=frozen.face_parsing,
+                               matting=frozen.matting)
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    step = jax.jit(make_train_step(
+        cfg, gen_apply, lambda v, img: dis.apply(v, img), towers))
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert "gen/landmarks" in metrics
+    assert np.isfinite(float(metrics["gen/landmarks"]))
+    assert float(metrics["gen/landmarks"]) > 0
+
+
 def test_epoch_gates_delay_heavy_losses(step_run):
     """The reference delays the heavy losses by epoch (face parts wait
     face_parts_epoch_start, fv_mix waits mix_losses_start, the contrastive family
