@@ -239,6 +239,12 @@ class LossWeights:
     # MobileFaceNet landmark loss on retina-box face crops (default 0;
     # assembly va_losses_and_visuals.py:405-428, tower init :765-772)
     landmarks: float = 0.0
+    # optional emotion/identity towers on the theta-aligned crops (defaults 0;
+    # assembly va_losses_and_visuals.py:356-403, towers :745-763)
+    vgg19_emotions: float = 0.0
+    resnet18_emotions: float = 0.0
+    face_resnet: float = 0.0
+    vgg19_fv_mix: float = 0.0
 
 
 @dataclass(frozen=True)

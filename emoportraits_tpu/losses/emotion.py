@@ -96,6 +96,32 @@ class MobileFaceNetFeatures(nn.Module):
         return feats
 
 
+class EmotionResNet18(nn.Module):
+    """ResNet-18-trunk emotion tower with layer_1..layer_4 taps — the
+    'resnet_emotions' perceptual backbone (reference ResNet18_ARM___RAF,
+    losses/emotion_models.py; config va_losses_and_visuals.py:760-763:
+    num_scales=1, resize 224, weights 0.25 each). `width` < 64 builds a
+    shape-compatible miniature for tests/dryruns."""
+    norm: str = "bn"
+    width: int = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Dict[str, jax.Array]:
+        from ..models.backbones.resnet import ResNet
+
+        _, feats = ResNet(layers=(2, 2, 2, 2), block="basic", norm=self.norm,
+                          base_width=self.width,
+                          name="trunk")(x, return_features=True)
+        return {f"layer_{i + 1}": f for i, f in enumerate(feats)}
+
+
+def make_emotion_resnet_tower(rng: jax.Array, image_size: int = 224,
+                              width: int = 64):
+    tower = EmotionResNet18(width=width)
+    params = tower.init(rng, jnp.zeros((1, image_size, image_size, 3)))
+    return tower.apply, params
+
+
 def crop_faces_for_landmarks(images: jax.Array, boxes: jax.Array,
                              out_size: int = 112) -> jax.Array:
     """Batched `prepare_face_for_landmarks` (reference

@@ -66,9 +66,10 @@ DEFAULT_LAYERS = ("relu_1_1", "relu_2_1", "relu_3_1", "relu_4_1", "relu_5_1")
 DEFAULT_WEIGHTS = (0.03125, 0.0625, 0.125, 0.25, 1.0)
 
 
-def _resize_half(x: jax.Array) -> jax.Array:
+def _resize_by(x: jax.Array, factor: float) -> jax.Array:
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h // 2, w // 2, c), method="linear")
+    return jax.image.resize(x, (b, int(h * factor), int(w * factor), c),
+                            method="linear")
 
 
 def perceptual_loss(
@@ -82,11 +83,13 @@ def perceptual_loss(
     layer_weights: Sequence[float] = DEFAULT_WEIGHTS,
     normalization: str = "imagenet",  # 'imagenet' | 'vggface' | 'none'
     resize_to: Optional[int] = None,
+    scale_factor: float = 0.5,
 ) -> jax.Array:
     """Multi-scale feature L1 (reference PerceptualLoss.forward, perceptual.py:108-231).
 
     tower_apply(params, img) -> {layer: activation}. Target features are
-    stop-gradiented; the pyramid halves resolution bilinearly between scales.
+    stop-gradiented; the pyramid downscales bilinearly by `scale_factor`
+    between scales (the reference's vgg_emotions config uses 0.8; default 0.5).
     """
     if normalization == "imagenet":
         pred = (pred - IMAGENET_MEAN.astype(pred.dtype)) / IMAGENET_STD.astype(pred.dtype)
@@ -114,7 +117,8 @@ def perceptual_loss(
             pf, tf = feats[name][:b], jax.lax.stop_gradient(feats[name][b:])
             loss = loss + w * jnp.mean(jnp.abs(pf - tf))
         if scale != num_scales - 1:
-            pred, target = _resize_half(pred), _resize_half(target)
+            pred = _resize_by(pred, scale_factor)
+            target = _resize_by(target, scale_factor)
     return loss / num_scales
 
 

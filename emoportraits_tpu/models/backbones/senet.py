@@ -59,10 +59,17 @@ class SEBottleneck(nn.Module):
 
 
 class SENet50(nn.Module):
-    """Returns (embedding (B, 2048), {relu taps}) — taps named relu1..relu5 per stage
-    for the face_resnet perceptual layers."""
+    """Returns (embedding (B, 2048), {relu taps}).
+
+    Default taps: relu1..relu5 per stage. With `block_taps=True` the taps are
+    instead the per-BLOCK output relus named relu1..relu{sum(layers)} — the
+    shape of the reference face_resnet perceptual config, which taps 16
+    interior relus of senet50_ft_dag (losses/perceptual.py:533-559; our taps
+    are the block outputs rather than that exact child-index selection — a
+    frozen-tower tap choice; the loss has zero prod weight)."""
     norm: str = "bn"
     layers: Sequence[int] = (3, 4, 6, 3)
+    block_taps: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, Dict[str, jax.Array]]:
@@ -70,16 +77,22 @@ class SENet50(nn.Module):
         x = Conv(64, (7, 7), strides=2, use_bias=False, name="conv1")(x)
         x = Norm(64, self.norm, name="bn1")(x)
         x = jax.nn.relu(x)
-        taps["relu1"] = x
+        if not self.block_taps:
+            taps["relu1"] = x
         x = max_pool(x, 3, 2, 1)
         feats = 64
+        block_i = 0
         for li, n_blocks in enumerate(self.layers):
             stride = 1 if li == 0 else 2
             for bi in range(n_blocks):
                 x = SEBottleneck(
                     feats, stride if bi == 0 else 1, self.norm,
                     downsample=(bi == 0), name=f"layer{li + 1}_{bi}")(x)
-            taps[f"relu{li + 2}"] = x
+                block_i += 1
+                if self.block_taps:
+                    taps[f"relu{block_i}"] = x
+            if not self.block_taps:
+                taps[f"relu{li + 2}"] = x
             feats *= 2
         emb = jnp.mean(x, axis=(1, 2))
         return emb, taps

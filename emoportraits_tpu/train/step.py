@@ -60,6 +60,16 @@ class LossTowers(NamedTuple):
     # (losses/emotion.py; reference 'landmarks' perceptual config)
     landmark_apply: Optional[Callable] = None
     landmark_params: Any = None
+    # optional emotion/identity towers (va_losses_and_visuals.py:745-763);
+    # *_layers/_weights are the tap config (tiny towers have fewer taps)
+    face_resnet_apply: Optional[Callable] = None
+    face_resnet_params: Any = None
+    face_resnet_layers: Tuple[str, ...] = ()
+    face_resnet_weights: Tuple[float, ...] = ()
+    emotion_vgg_apply: Optional[Callable] = None
+    emotion_vgg_params: Any = None
+    emotion_resnet_apply: Optional[Callable] = None
+    emotion_resnet_params: Any = None
 
 
 # LossTowers fields that hold parameter PYTREES (vs apply fns). These can be passed
@@ -68,7 +78,8 @@ class LossTowers(NamedTuple):
 # big enough to blow past compile-payload limits and bloat the compilation cache.
 TOWER_PARAM_FIELDS = ("vgg19_params", "vggface_params", "head_pose_params",
                       "gaze_params", "face_vector_params", "face_parsing_params",
-                      "landmark_params")
+                      "landmark_params", "face_resnet_params",
+                      "emotion_vgg_params", "emotion_resnet_params")
 
 
 def tower_params_pytree(towers: "LossTowers", frozen_nets=None) -> Dict[str, Any]:
@@ -177,6 +188,50 @@ def gen_losses(
         kp = jax.lax.stop_gradient(batch["target_keypoints"][..., :2])
         losses["gaze"] = w.gaze * gaze_loss(
             towers.gaze_apply, towers.gaze_params, pred, target, kp)
+
+    # --- optional emotion/identity towers on the theta-aligned face crops (all 0
+    #     in prod; assembly va_losses_and_visuals.py:356-403, towers :745-772) ---
+    fa = out.get("pred_target_img_face_align")
+    ta = out.get("target_img_align_orig")
+    if fa is not None and ta is not None:
+        ta = jax.lax.stop_gradient(ta)
+        # face_resnet: SENet50 relu-tap L1, raw-mean face normalization, 224px
+        if towers.face_resnet_apply is not None and w.face_resnet > 0:
+            losses["face_resnet"] = w.face_resnet * perceptual_loss(
+                towers.face_resnet_apply, towers.face_resnet_params, fa, ta,
+                num_scales=1, layers=towers.face_resnet_layers,
+                layer_weights=towers.face_resnet_weights,
+                normalization="face_resnet", resize_to=224)
+        # vgg19_emotions: grayscale 55px emotion VGG, 2 scales at factor 0.8
+        if towers.emotion_vgg_apply is not None and w.vgg19_emotions > 0:
+            from ..losses.emotion import to_grayscale3
+
+            losses["vgg19_emotions"] = w.vgg19_emotions * perceptual_loss(
+                towers.emotion_vgg_apply, towers.emotion_vgg_params,
+                to_grayscale3(fa), to_grayscale3(ta), num_scales=2,
+                normalization="none", resize_to=55, scale_factor=0.8)
+        # resnet18_emotions: ResNet18-ARM layer_{1..4} L1 at 224px
+        if towers.emotion_resnet_apply is not None and w.resnet18_emotions > 0:
+            losses["resnet18_emotions"] = w.resnet18_emotions * perceptual_loss(
+                towers.emotion_resnet_apply, towers.emotion_resnet_params, fa, ta,
+                num_scales=1,
+                layers=("layer_1", "layer_2", "layer_3", "layer_4"),
+                layer_weights=(0.25, 0.25, 0.25, 0.25), resize_to=224)
+
+    # --- vgg19_fv_mix (0 in prod; va_losses_and_visuals.py:356-366): cosine of
+    #     flattened VGGFace conv features, aligned mixing crop vs aligned target;
+    #     the reference divides the mean cosine loss by batch again (:366) and
+    #     gates on epoch >= mix_losses_start ---
+    if (towers.vggface_apply is not None and w.vgg19_fv_mix > 0
+            and "mixing_img_align" in out):
+        b_ = out["mixing_img_align"].shape[0]
+        mf = towers.vggface_apply(towers.vggface_params, out["mixing_img_align"])
+        tf = towers.vggface_apply(towers.vggface_params,
+                                  out["target_img_align_orig"])
+        losses["vgg19_fv_mix"] = g_mix * w.vgg19_fv_mix * cosine_embedding_loss(
+            mf["relu_5_1"].reshape(b_, -1),
+            jax.lax.stop_gradient(tf["relu_5_1"].reshape(b_, -1)),
+            target=1) / b_
 
     # --- landmark loss (w=0 in prod; va_losses_and_visuals.py:405-428): crop
     #     pred/target to the face box, L1 over frozen MobileFaceNet taps. Boxes come

@@ -113,6 +113,40 @@ def build_loss_towers(
         kw["gaze_params"] = variables.get("gaze") or jax.jit(gaze_net.init)(
             keys[3], jnp.zeros((1, 36, 60, 3), jnp.float32))
 
+    # --- optional emotion/identity towers (all 0 in prod;
+    #     va_losses_and_visuals.py:745-763) ---
+    if w.face_resnet > 0:
+        from ..models.backbones.senet import SENet50
+
+        fr_layers = (1, 1, 1, 1) if tiny else (3, 4, 6, 3)
+        fr_net = SENet50(layers=fr_layers, block_taps=True)
+        n_taps = sum(fr_layers)
+        kw["face_resnet_apply"] = lambda p, img, _n=fr_net: _n.apply(p, img)[1]
+        kw["face_resnet_params"] = variables.get("face_resnet") or jax.jit(
+            fr_net.init)(jax.random.fold_in(key, 10), init_img)
+        kw["face_resnet_layers"] = tuple(f"relu{i + 1}" for i in range(n_taps))
+        # reference tap weights (va_losses_and_visuals.py:747-750); even for tiny
+        kw["face_resnet_weights"] = (
+            (0.03125,) * 3 + (0.0625,) * 3 + (0.125,) * 3 + (0.25,) * 4
+            + (1.0,) * 3) if not tiny else (0.25,) * n_taps
+    if w.vgg19_emotions > 0:
+        from ..losses.emotion import EmotionVGG
+
+        ev_net = EmotionVGG(stages=((1, 4),) * 5) if tiny else EmotionVGG()
+        kw["emotion_vgg_apply"] = ev_net.apply
+        kw["emotion_vgg_params"] = variables.get("emotion_vgg") or jax.jit(
+            ev_net.init)(jax.random.fold_in(key, 11),
+                         jnp.zeros((1, 55, 55, 3), jnp.float32))
+    if w.resnet18_emotions > 0:
+        from ..losses.emotion import make_emotion_resnet_tower
+
+        er_apply, er_params = make_emotion_resnet_tower(
+            jax.random.fold_in(key, 12), image_size=64 if tiny else 224,
+            width=8 if tiny else 64)
+        kw["emotion_resnet_apply"] = er_apply
+        kw["emotion_resnet_params"] = (variables.get("emotion_resnet")
+                                       or er_params)
+
     # --- landmark tower (w=0 in prod; 'landmarks' perceptual config,
     #     va_losses_and_visuals.py:765-772) ---
     if w.landmarks > 0:

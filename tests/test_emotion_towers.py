@@ -35,6 +35,44 @@ def test_emotion_tower_as_perceptual_backbone():
     assert float(same) < 1e-6
 
 
+def test_emotion_resnet_taps():
+    from emoportraits_tpu.losses.emotion import make_emotion_resnet_tower
+
+    apply_fn, params = make_emotion_resnet_tower(KEY, image_size=64, width=8)
+    feats = apply_fn(params, jnp.ones((1, 64, 64, 3)))
+    assert set(feats) == {"layer_1", "layer_2", "layer_3", "layer_4"}
+    assert feats["layer_4"].shape == (1, 2, 2, 64)  # width 8 -> 64 at stage 4
+
+
+def test_senet_block_taps():
+    from emoportraits_tpu.models.backbones.senet import SENet50
+
+    net = SENet50(layers=(3, 4, 6, 3), block_taps=True)
+    # tap NAMES must match the reference face_resnet config (relu1..relu16)
+    # without running the full net: init at a tiny size then inspect tap dict
+    net_small = SENet50(layers=(1, 1, 1, 1), block_taps=True)
+    p = net_small.init(KEY, jnp.ones((1, 32, 32, 3)))
+    _, taps = net_small.apply(p, jnp.ones((1, 32, 32, 3)))
+    assert set(taps) == {"relu1", "relu2", "relu3", "relu4"}
+    assert sum((3, 4, 6, 3)) == 16  # full config yields relu1..relu16
+
+
+def test_perceptual_scale_factor():
+    from emoportraits_tpu.losses.perceptual import perceptual_loss
+
+    calls = []
+
+    def fake_tower(_p, img):
+        calls.append(img.shape[1])
+        return {"relu_1_1": img}
+
+    a = jnp.ones((1, 100, 100, 3))
+    perceptual_loss(fake_tower, None, a, a, num_scales=3,
+                    layers=("relu_1_1",), layer_weights=(1.0,),
+                    normalization="none", scale_factor=0.8)
+    assert calls == [100, 80, 64]  # 0.8 pyramid (reference vgg_emotions)
+
+
 def test_crop_faces_for_landmarks_golden_vs_reference():
     """Golden vs the REAL reference utils/prepare_for_landmark.py: same boxes,
     same images -> identical 112px crops (zero padding + nearest resize)."""

@@ -311,6 +311,54 @@ def test_landmarks_loss_in_step():
     assert float(metrics["gen/landmarks"]) > 0
 
 
+def test_emotion_family_losses_in_step():
+    """Optional emotion/identity losses (all 0 in prod;
+    va_losses_and_visuals.py:356-403): face_resnet SENet taps, grayscale
+    vgg19_emotions, resnet18_emotions, and vgg19_fv_mix on the aligned crops."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, weights=dataclasses.replace(
+            cfg.weights, face_resnet=2.0, vgg19_emotions=3.0,
+            resnet18_emotions=4.0, vgg19_fv_mix=5.0))
+    key = jax.random.PRNGKey(0)
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    b, s = 2, cfg.train.image_size
+    rng = np.random.default_rng(5)
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_keypoints": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (b, 68, 2)).astype(np.float32)),
+    }
+    theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    gen_vars = model.init(key, batch["source_img"], batch["source_mask"],
+                          batch["target_img"], theta, theta)
+    dis_vars = dis.init(key, batch["target_img"])
+    towers, frozen = build_loss_towers(cfg, key, tiny=True)
+    assert towers.face_resnet_apply is not None
+    assert towers.emotion_vgg_apply is not None
+    assert towers.emotion_resnet_apply is not None
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params,
+                               face_parsing=frozen.face_parsing,
+                               matting=frozen.matting)
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    step = jax.jit(make_train_step(
+        cfg, gen_apply, lambda v, img: dis.apply(v, img), towers))
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("gen/face_resnet", "gen/vgg19_emotions", "gen/resnet18_emotions",
+              "gen/vgg19_fv_mix"):
+        assert k in metrics, f"{k} missing"
+        assert np.isfinite(float(metrics[k])), f"{k} not finite"
+    for k in ("gen/face_resnet", "gen/vgg19_emotions", "gen/resnet18_emotions"):
+        assert float(metrics[k]) > 0, f"{k} inactive"
+
+
 def test_epoch_gates_delay_heavy_losses(step_run):
     """The reference delays the heavy losses by epoch (face parts wait
     face_parts_epoch_start, fv_mix waits mix_losses_start, the contrastive family
