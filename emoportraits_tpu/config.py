@@ -245,6 +245,28 @@ class LossWeights:
     resnet18_emotions: float = 0.0
     face_resnet: float = 0.0
     vgg19_fv_mix: float = 0.0
+    # Barlow-twins decorrelation of cycle vs target expressions (default 0;
+    # va_losses_and_visuals.py:436-455 — the all_reduce there is automatic
+    # under GSPMD when the batch axis is mesh-sharded)
+    barlow: float = 0.0
+    # canonical-volume cosine pull/push (default 0; :117-141)
+    volumes_pull: float = 0.0
+    volumes_push: float = 0.0
+    # warp-delta regularizer (default 0; :430-432 — the reference reads a
+    # 'target_motion_deltas' key nothing produces; wired to the real uv/xy
+    # deltas here)
+    warping_reg: float = 0.0
+    # BiSeNet-trunk perceptual on the first batch element (default 0; :177-179)
+    perc_face_pars: float = 0.0
+    # cycle-consistency gates + per-term weights (defaults 0; :259-295;
+    # cycle_idn reads the never-produced pred_identical_cycle in the
+    # reference — reconstructed from the pred-cycle expression here)
+    cycle_idn: float = 0.0
+    cycle_exp: float = 0.0
+    vgg19_cycle_idn: float = 0.0
+    vgg19_face_cycle_idn: float = 0.0
+    vgg19_cycle_exp: float = 0.0
+    vgg19_face_cycle_exp: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -296,6 +318,9 @@ class TrainConfig:
     pred_mixing: bool = True
     predict_target_canon_vol: bool = True
     match_neutral: bool = False
+    # decode cycle images from the re-embedded expressions for the
+    # cycle-consistency losses (reference pred_cycle, va.py:739-765; default False)
+    pred_cycle: bool = False
     use_stylegan_d: bool = False
     d_reg_every: int = 16        # lazy R1 cadence (va.py:1023-1046)
     logging_freq: int = 10

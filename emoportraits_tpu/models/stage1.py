@@ -278,6 +278,25 @@ class VolumetricAvatar(nn.Module):
 
         return out
 
+    def decode_with_expression(self, canonical: jax.Array, expr_vector: jax.Array,
+                               idt_embed: jax.Array, target_theta: jax.Array,
+                               conv_alpha=1.0) -> jax.Array:
+        """Decode the canonical volume under an arbitrary expression vector and the
+        target pose — the pred_cycle branch (reference va.py:739-765: uv warp from
+        the re-embedded cycle expression, two resamplings, decoder). Drives
+        `cycle_mix_pred` (mixing-cycle expression) and `pred_identical_cycle`
+        (pred-cycle expression; the reference CONSUMES that key in its cycle_idn
+        loss but never produces it — dead code, va_losses_and_visuals.py:262 —
+        reconstructed here)."""
+        embed = self.fuse_embed(expr_vector, idt_embed)
+        uv_warp, _ = self.uv_generator_nw(embed, conv_alpha)
+        rot_warp = self.rotation_warp(target_theta, invert=False)
+        aligned = self._grid_sample(self._grid_sample(canonical, uv_warp), rot_warp)
+        if self.cfg.pred_volume_num_blocks > 0:
+            aligned = self.volume_pred_nw(aligned)
+        img, _ = self.decoder_nw(self._to_2d(aligned), embed)
+        return img
+
     def canonical_from_target(self, target_img: jax.Array, target_mask: jax.Array,
                               target_pose_embed: jax.Array, idt_embed: jax.Array,
                               inv_theta_st: jax.Array, conv_alpha=1.0) -> jax.Array:

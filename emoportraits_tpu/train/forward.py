@@ -195,6 +195,26 @@ def make_gen_apply(
                 frozen, mix_img, mix_theta_pred, method=model.expression_vector)
             out["mixing_cycle_exp"] = jnp.roll(mix_emb, -1, axis=0)
 
+            if train_cfg.pred_cycle:
+                # pred_cycle branch (va.py:739-765): decode the canonical volume
+                # under the re-embedded cycle expressions for the cycle-consistency
+                # perceptual losses. cycle_mix_pred uses the mixing-cycle
+                # expression (live in the reference); pred_identical_cycle uses
+                # the pred-cycle expression (the reference's cycle_idn loss reads
+                # it but nothing ever produces it — reconstructed).
+                out["cycle_mix_pred"] = model.apply(
+                    frozen, out["canonical_volume"], out["mixing_cycle_exp"],
+                    out["idt_embed"], tgt_theta, conv_alpha,
+                    method=model.decode_with_expression)
+                out["pred_identical_cycle"] = model.apply(
+                    frozen, out["canonical_volume"], out["pred_cycle_exp"],
+                    out["idt_embed"], tgt_theta, conv_alpha,
+                    method=model.decode_with_expression)
+                out["cycle_mix_pred_align"] = align_face_crop(
+                    out["cycle_mix_pred"], tgt_theta, gs)
+                out["pred_identical_cycle_align"] = align_face_crop(
+                    out["pred_identical_cycle"], tgt_theta, gs)
+
         # ---- canonical volume from target (no-grad; volumes_l1) ----
         if train_cfg.predict_target_canon_vol:
             theta_st = get_transform_matrix(src_scale, tgt_rot, tgt_tr)

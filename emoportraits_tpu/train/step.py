@@ -66,6 +66,10 @@ class LossTowers(NamedTuple):
     face_resnet_params: Any = None
     face_resnet_layers: Tuple[str, ...] = ()
     face_resnet_weights: Tuple[float, ...] = ()
+    # BiSeNet-trunk feature taps for perc_face_pars: (params, img01) ->
+    # {feat4, feat8, feat16, feat32} (reference _bisenet_FP, perceptual.py:506)
+    face_pars_feats_apply: Optional[Callable] = None
+    face_pars_feats_params: Any = None
     emotion_vgg_apply: Optional[Callable] = None
     emotion_vgg_params: Any = None
     emotion_resnet_apply: Optional[Callable] = None
@@ -79,7 +83,8 @@ class LossTowers(NamedTuple):
 TOWER_PARAM_FIELDS = ("vgg19_params", "vggface_params", "head_pose_params",
                       "gaze_params", "face_vector_params", "face_parsing_params",
                       "landmark_params", "face_resnet_params",
-                      "emotion_vgg_params", "emotion_resnet_params")
+                      "emotion_vgg_params", "emotion_resnet_params",
+                      "face_pars_feats_params")
 
 
 def tower_params_pytree(towers: "LossTowers", frozen_nets=None) -> Dict[str, Any]:
@@ -188,6 +193,40 @@ def gen_losses(
         kp = jax.lax.stop_gradient(batch["target_keypoints"][..., :2])
         losses["gaze"] = w.gaze * gaze_loss(
             towers.gaze_apply, towers.gaze_params, pred, target, kp)
+
+    # --- perc_face_pars (0 in prod; va_losses_and_visuals.py:177-179): BiSeNet-trunk
+    #     perceptual L1 on the FIRST batch element only, 2 scales at 224px ---
+    if towers.face_pars_feats_apply is not None and w.perc_face_pars > 0:
+        losses["perc_face_pars"] = w.perc_face_pars * perceptual_loss(
+            towers.face_pars_feats_apply, towers.face_pars_feats_params,
+            pred[:1], jax.lax.stop_gradient(target[:1]), num_scales=2,
+            layers=("feat4", "feat8", "feat16", "feat32"),
+            layer_weights=(0.0625, 0.125, 0.25, 1.0),
+            normalization="imagenet", resize_to=224)
+
+    # --- cycle-consistency perceptual losses (pred_cycle branch; gates cycle_exp /
+    #     cycle_idn, va_losses_and_visuals.py:259-295: full-frame vgg19 + aligned-crop
+    #     vggface against the detached target; batch>1 required there because the
+    #     mixing roll needs a second sample) ---
+    if pred.shape[0] > 1 and towers.vgg19_apply is not None:
+        for gate, img_key, tag in ((w.cycle_exp, "cycle_mix_pred", "cycle_exp"),
+                                   (w.cycle_idn, "pred_identical_cycle",
+                                    "cycle_idn")):
+            if gate <= 0 or img_key not in out:
+                continue
+            wv = getattr(w, f"vgg19_{tag}")
+            wf = getattr(w, f"vgg19_face_{tag}")
+            if wv > 0:
+                losses[f"vgg19_{tag}"] = wv * perceptual_loss(
+                    towers.vgg19_apply, towers.vgg19_params, out[img_key],
+                    jax.lax.stop_gradient(batch["target_img"]), num_scales=1)
+            if wf > 0 and towers.vggface_apply is not None:
+                rs = min(224, out[img_key].shape[1])
+                losses[f"vgg19_face_{tag}"] = wf * perceptual_loss(
+                    towers.vggface_apply, towers.vggface_params,
+                    out[f"{img_key}_align"],
+                    jax.lax.stop_gradient(out["target_img_align_orig"]),
+                    num_scales=1, normalization="imagenet", resize_to=rs)
 
     # --- optional emotion/identity towers on the theta-aligned face crops (all 0
     #     in prod; assembly va_losses_and_visuals.py:356-403, towers :745-772) ---
@@ -301,6 +340,32 @@ def gen_losses(
         losses["volumes_l1"] = w.volumes_l1 * jnp.mean(jnp.abs(
             out["canonical_volume"]
             - jax.lax.stop_gradient(out["canon_volume_from_target"])))
+    # canonical-volume cosine pull/push (0 in prod; va_losses_and_visuals.py:117-141:
+    # per-sample cosine-embedding pull to the detached target-canon volume, push vs
+    # the roll-1 pairing; the per-sample loop + /b telescopes to the batch mean)
+    if "canon_volume_from_target" in out and (w.volumes_pull > 0
+                                              or w.volumes_push > 0):
+        b_ = out["canonical_volume"].shape[0]
+        cv = out["canonical_volume"].reshape(b_, -1)
+        ct = jax.lax.stop_gradient(out["canon_volume_from_target"]).reshape(b_, -1)
+        if w.volumes_pull > 0:
+            losses["volumes_pull"] = w.volumes_pull * cosine_embedding_loss(
+                cv, ct, target=1, margin=0.0)
+        if w.volumes_push > 0:
+            losses["volumes_push"] = w.volumes_push * cosine_embedding_loss(
+                cv, jnp.roll(ct, 1, axis=0), target=-1, margin=0.0)
+
+    # warp-delta regularizer (0 in prod; va_losses_and_visuals.py:430-432 — the
+    # reference reads 'target_motion_deltas' which nothing produces; the real
+    # generated warp deltas are regularized here)
+    if w.warping_reg > 0 and "target_delta_uv" in out:
+        from ..losses.extras import warp_reg_loss
+
+        deltas = [out["target_delta_uv"]]
+        if "source_delta_xy" in out:
+            deltas.append(out["source_delta_xy"])
+        losses["warping_reg"] = w.warping_reg * warp_reg_loss(
+            deltas, step_count if step_count is not None else jnp.zeros((), jnp.int32))
 
     # --- expression contrastive family (va_losses_and_visuals.py:457-578; gated on
     #     epoch >= contr_losses_start, :458) ---
@@ -320,6 +385,20 @@ def gen_losses(
         losses["push_exp"] = g_contr * w.push_exp * push
         losses["stm"] = g_contr * w.push_exp * w.stm * stm_loss(
             out["source_pose_embed"], t_emb)
+        # Barlow twins (0 in prod; va_losses_and_visuals.py:436-455, epoch-gated on
+        # contr_losses_start): batch-standardized cross-correlation of each cycle
+        # expression with the target expression. The reference all_reduces the
+        # correlation matrix across ranks; under GSPMD data parallelism the batch
+        # statistics and the (D,B)x(B,D) contraction already run over the GLOBAL
+        # sharded batch, so no explicit collective is needed (same argument as
+        # TrainBatchNorm in ops/blocks.py).
+        if w.barlow > 0:
+            from ..losses.expression import barlow_twins_loss
+
+            bl = barlow_twins_loss(p_cyc, t_emb)
+            if m_cyc is not None:
+                bl = bl + barlow_twins_loss(m_cyc, t_emb)
+            losses["barlow"] = g_contr * w.barlow * bl
         if w.contrastive_exp > 0:
             losses["contrastive_exp_pred"] = (
                 g_contr * w.contrastive_exp * contrastive_exp_loss(

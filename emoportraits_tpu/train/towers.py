@@ -197,6 +197,39 @@ def build_loss_towers(
         kw["face_parsing_params"] = fp_params
         face_parsing = (fp_apply, fp_params)
 
+    # --- perc_face_pars: BiSeNet ResNet-trunk feature taps feat4..feat32
+    #     (0 in prod; reference _bisenet_FP reuses the parser's own trunk,
+    #     perceptual.py:506-529) ---
+    if w.perc_face_pars > 0:
+        _FP_TAPS = ("feat4", "feat8", "feat16", "feat32")
+        if tiny:
+            fpp_net = VGGFeatures(stages=_TINY_STAGES[:4])
+            fpp_params = jax.jit(fpp_net.init)(jax.random.fold_in(key, 13),
+                                               init_img)
+            kw["face_pars_feats_apply"] = (
+                lambda p, img, _n=fpp_net: dict(zip(_FP_TAPS, [
+                    _n.apply(p, img)[f"relu_{i}_1"] for i in range(1, 5)])))
+        else:
+            from ..models.backbones.resnet import ResNet
+
+            trunk = ResNet(layers=(2, 2, 2, 2), block="basic", norm="bn")
+            if face_parsing is not None or (w.eyes_l1 > 0 or w.mouth_l1 > 0
+                                            or w.ears_l1 > 0
+                                            or cfg.train.use_mix_mask):
+                # share the parser's own ported trunk (reference semantics)
+                fpp_params = {"params": (variables.get("face_parsing")
+                                         or fp_params)["params"]["resnet"]}
+            else:
+                fpp_params = jax.jit(trunk.init)(
+                    jax.random.fold_in(key, 13),
+                    jnp.zeros((1, 224, 224, 3), jnp.float32))
+            # input normalization happens in the loss engine
+            # (normalization='imagenet' == normalize_for_parsing)
+            kw["face_pars_feats_apply"] = (
+                lambda p, img, _n=trunk: dict(zip(_FP_TAPS, _n.apply(
+                    p, img, return_features=True)[1])))
+        kw["face_pars_feats_params"] = fpp_params
+
     # --- RTNet tanh-polar parser (ibug use_old_fp=False branch, va.py:300-321) ---
     rtnet = None
     if cfg.train.use_mix_mask and cfg.train.use_ibug_mask \

@@ -359,6 +359,62 @@ def test_emotion_family_losses_in_step():
         assert float(metrics[k]) > 0, f"{k} inactive"
 
 
+def test_cycle_barlow_volumes_extras_in_step():
+    """Remaining optional losses in one compiled step: barlow twins, canonical-
+    volume pull/push, warping_reg, perc_face_pars, and the pred_cycle branch's
+    cycle_exp/cycle_idn perceptual families (va_losses_and_visuals.py:117-141,
+    177-179, 259-295, 430-455)."""
+    import dataclasses
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        weights=dataclasses.replace(
+            cfg.weights, barlow=1.0, volumes_pull=2.0, volumes_push=2.0,
+            warping_reg=1.0, perc_face_pars=3.0, cycle_exp=1.0, cycle_idn=1.0,
+            vgg19_cycle_exp=4.0, vgg19_face_cycle_exp=5.0,
+            vgg19_cycle_idn=6.0, vgg19_face_cycle_idn=7.0),
+        train=dataclasses.replace(cfg.train, pred_cycle=True))
+    key = jax.random.PRNGKey(0)
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    b, s = 2, cfg.train.image_size
+    rng = np.random.default_rng(9)
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "source_keypoints": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (b, 68, 3)).astype(np.float32)),
+        "target_keypoints": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (b, 68, 3)).astype(np.float32)),
+    }
+    theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    gen_vars = model.init(key, batch["source_img"], batch["source_mask"],
+                          batch["target_img"], theta, theta)
+    dis_vars = dis.init(key, batch["target_img"])
+    towers, frozen = build_loss_towers(cfg, key, tiny=True)
+    assert towers.face_pars_feats_apply is not None
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params,
+                               face_parsing=frozen.face_parsing,
+                               matting=frozen.matting)
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    step = jax.jit(make_train_step(
+        cfg, gen_apply, lambda v, img: dis.apply(v, img), towers))
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("gen/barlow", "gen/volumes_pull", "gen/volumes_push",
+              "gen/warping_reg", "gen/perc_face_pars", "gen/vgg19_cycle_exp",
+              "gen/vgg19_face_cycle_exp", "gen/vgg19_cycle_idn",
+              "gen/vgg19_face_cycle_idn"):
+        assert k in metrics, f"{k} missing"
+        assert np.isfinite(float(metrics[k])), f"{k} not finite"
+    for k in ("gen/barlow", "gen/warping_reg", "gen/perc_face_pars",
+              "gen/vgg19_cycle_exp", "gen/vgg19_cycle_idn"):
+        assert abs(float(metrics[k])) > 0, f"{k} inactive"
+
+
 def test_epoch_gates_delay_heavy_losses(step_run):
     """The reference delays the heavy losses by epoch (face parts wait
     face_parts_epoch_start, fv_mix waits mix_losses_start, the contrastive family
