@@ -263,6 +263,9 @@ class LossWeights:
     # reference — reconstructed from the pred-cycle expression here)
     cycle_idn: float = 0.0
     cycle_exp: float = 0.0
+    # identity InfoNCE on aligned-crop idt embeds (default 0; :581-622 — the
+    # reference's idt_embed_face_* inputs are never produced; reconstructed)
+    contrastive_idt: float = 0.0
     vgg19_cycle_idn: float = 0.0
     vgg19_face_cycle_idn: float = 0.0
     vgg19_cycle_exp: float = 0.0
@@ -314,8 +317,19 @@ class TrainConfig:
     mix_losses_start: int = 1
     contr_losses_start: int = 1
     face_parts_epoch_start: int = 10
+    # volumes_l1 schedule (va_losses_and_visuals.py:99-107: active once
+    # epoch >= vol_loss_epoch and the within-epoch iteration > 20, ramped by
+    # min((epoch - vol_loss_epoch + 1) / vol_loss_grad, 1); prod 1 / 1)
+    vol_loss_epoch: int = 1
+    vol_loss_grad: float = 1.0
+    vol_loss_iter_start: int = 20    # the reference hardcodes iteration > 20
     num_b_negs: int = 1
     pred_mixing: bool = True
+    # mixing-pose randomization (va.py:650, non_specific.py:137-152; prod True):
+    # with prob 0.5 the mixing pose comes from a 50-deep history pool of past
+    # target thetas instead of the current batch (TrainState.thetas_pool ring)
+    random_theta: bool = True
+    thetas_pool_size: int = 50
     predict_target_canon_vol: bool = True
     match_neutral: bool = False
     # decode cycle images from the re-embedded expressions for the
@@ -323,6 +337,10 @@ class TrainConfig:
     pred_cycle: bool = False
     use_stylegan_d: bool = False
     d_reg_every: int = 16        # lazy R1 cadence (va.py:1023-1046)
+    # StyleGAN-D base lr (va_arguments.py:350); its Adam runs at
+    # lr*d_reg_ratio with betas (0, 0.99)**d_reg_ratio where
+    # d_reg_ratio = d_reg_every/(d_reg_every+1) (va.py:1119-1126)
+    dis_stylegan_lr: float = 2e-4
     logging_freq: int = 10
     # display-only renormalization of logged losses (prod --normalize_losses True)
     normalize_losses: bool = True
@@ -496,7 +514,8 @@ def tiny_config() -> ExperimentConfig:
         # epoch gates at 0 so one-step tests exercise the FULL loss set
         train=TrainConfig(batch_size=2, image_size=64, aug_warp_size=64,
                           mix_losses_start=0, contr_losses_start=0,
-                          face_parts_epoch_start=0),
+                          face_parts_epoch_start=0, vol_loss_epoch=0,
+                          vol_loss_iter_start=-1),
     )
 
 
@@ -568,12 +587,16 @@ _REF_ARG_MAP = {
     "use_old_fp": [("train.use_old_fp", _str2bool)],
     "use_stylegan_d": [("train.use_stylegan_d", _str2bool)],
     "d_reg_every": [("train.d_reg_every", int)],
+    "dis_stylegan_lr": [("train.dis_stylegan_lr", float)],
     "match_neutral": [("train.match_neutral", _str2bool)],
     "predict_target_canon_vol": [("train.predict_target_canon_vol", _str2bool)],
     "sec_dataset_every": [("train.sec_dataset_every", int)],
     "num_b_negs": [("train.num_b_negs", int)],
     "mix_losses_start": [("train.mix_losses_start", int)],
     "contr_losses_start": [("train.contr_losses_start", int)],
+    "vol_loss_epoch": [("train.vol_loss_epoch", int)],
+    "vol_loss_grad": [("train.vol_loss_grad", float)],
+    "random_theta": [("train.random_theta", _str2bool)],
     "logging_freq": [("train.logging_freq", int)],
     "normalize_losses": [("train.normalize_losses", _str2bool)],
     "visuals_freq": [("train.visuals_freq", int)],

@@ -158,7 +158,11 @@ def get_mixing_theta(source_theta: jax.Array, target_theta: jax.Array) -> jax.Ar
     _, source_stretch = polar_decompose(source_linear)
     target_rotation, target_stretch = polar_decompose(target_linear)
 
-    scale = jnp.einsum("bii->b", target_stretch) / jnp.einsum("bii->b", source_stretch)
+    # reference scales by the FULL-matrix means of the 4x4-embedded stretches
+    # (non_specific.py:187: `source_stretch * target_stretch.mean() /
+    # source_stretch.mean()`), not the traces
+    scale = (jnp.mean(target_stretch, axis=(-1, -2))
+             / jnp.mean(source_stretch, axis=(-1, -2)))
     mix = (source_stretch * scale[:, None, None]) @ target_rotation @ target_translation
     return mix[:, :3]
 

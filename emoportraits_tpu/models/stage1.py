@@ -278,6 +278,12 @@ class VolumetricAvatar(nn.Module):
 
         return out
 
+    def identity_embed(self, img: jax.Array) -> jax.Array:
+        """idt_embedder on an (aligned-crop) image — input to the reconstructed
+        contrastive_idt loss (the reference consumes idt_embed_face_* keys that
+        nothing produces, va_losses_and_visuals.py:581-622)."""
+        return self.idt_embedder_nw(img)
+
     def decode_with_expression(self, canonical: jax.Array, expr_vector: jax.Array,
                                idt_embed: jax.Array, target_theta: jax.Array,
                                conv_alpha=1.0) -> jax.Array:

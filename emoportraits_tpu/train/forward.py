@@ -126,12 +126,34 @@ def make_gen_apply(
                                                              hp(tgt))
 
         mixing_theta = None
+        new_pool = new_pool_count = None
         if train_cfg.pred_mixing:
+            mix_tgt = tgt_theta[:, :3]
+            pool = aux.get("thetas_pool")
+            if train_cfg.random_theta and pool is not None:
+                # prod random_theta (va.py:650, non_specific.py:137-152): append the
+                # batch's target thetas to a 50-deep history ring, then with prob 0.5
+                # mix against a uniformly-sampled pool entry instead of the current
+                # targets (the reference's roll(0) shuffle there is a no-op).
+                count = aux["thetas_pool_count"]
+                pool = jax.lax.dynamic_update_index_in_dim(
+                    pool, mix_tgt, count % pool.shape[0], axis=0)
+                count = count + 1
+                rk = jax.random.fold_in(rng, 0x7E7A)
+                r = jax.random.randint(jax.random.fold_in(rk, 1), (), 0,
+                                       jnp.minimum(count, pool.shape[0]))
+                use_pool = jax.random.bernoulli(jax.random.fold_in(rk, 2), 0.5)
+                mix_tgt = jnp.where(use_pool, pool[r], mix_tgt)
+                new_pool, new_pool_count = pool, count
+            elif not train_cfg.random_theta:
+                # non-random reference branch pairs each sample with the NEXT
+                # sample's target pose (non_specific.py:153-155: roll(1) over batch)
+                mix_tgt = jnp.roll(mix_tgt, 1, axis=0)
             # stop_gradient: the reference computes this on host in numpy/scipy with no
             # gradient (non_specific.py:128-190); it also shields the SVD VJP, which is
             # NaN for degenerate singular values (e.g. identity poses).
             mixing_theta = jax.lax.stop_gradient(
-                get_mixing_theta(src_theta[:, :3], tgt_theta[:, :3]))
+                get_mixing_theta(src_theta[:, :3], mix_tgt))
 
         # AdaptiveConv annealing alpha (step.py computes it from the iteration when
         # gen_adaptive_use_annealing; defaults to fully-on when absent)
@@ -151,6 +173,9 @@ def make_gen_apply(
         )
         out["refined_source_mask"] = src_mask
         out["refined_target_mask"] = tgt_mask
+        if new_pool is not None:
+            out["thetas_pool"] = jax.lax.stop_gradient(new_pool)
+            out["thetas_pool_count"] = new_pool_count
 
         frozen = {"params": variables["params"],
                   "sn_state": muts.get("sn_state", variables.get("sn_state", {}))}
@@ -194,6 +219,20 @@ def make_gen_apply(
             mix_emb = model.apply(
                 frozen, mix_img, mix_theta_pred, method=model.expression_vector)
             out["mixing_cycle_exp"] = jnp.roll(mix_emb, -1, axis=0)
+
+            if cfg.weights.contrastive_idt > 0:
+                # reconstructed contrastive_idt inputs (the reference consumes
+                # idt_embed_face{,_target,_pred,_mix} keys nothing produces,
+                # va_losses_and_visuals.py:581-622): the identity embedder run
+                # on the theta-aligned face crops
+                def idt(img):
+                    return model.apply(frozen, img, method=model.identity_embed)
+
+                out["idt_embed_face"] = idt(align_face_crop(src, src_theta, gs))
+                out["idt_embed_face_target"] = idt(out["target_img_align_orig"])
+                out["idt_embed_face_pred"] = idt(
+                    out["pred_target_img_face_align"])
+                out["idt_embed_face_mix"] = idt(out["mixing_img_align"])
 
             if train_cfg.pred_cycle:
                 # pred_cycle branch (va.py:739-765): decode the canonical volume

@@ -33,6 +33,24 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     raise ValueError(cfg.opt_type)
 
 
+def make_stylegan_optimizer(train_cfg, dis_opt_cfg: OptimizerConfig
+                            ) -> optax.GradientTransformation:
+    """StyleGAN-D optimizer (va.py:1119-1126): plain Adam with the lazy-R1
+    compensation ratio d_reg_ratio = d_reg_every/(d_reg_every+1) folded into the
+    lr and betas — lr = dis_stylegan_lr * ratio, betas = (0, 0.99) ** ratio —
+    then cosine-annealed to dis_shd_lr_min like the other opts (va.py:1169-1177;
+    torch CosineAnnealingLR anneals from the opt's own initial lr)."""
+    ratio = train_cfg.d_reg_every / (train_cfg.d_reg_every + 1)
+    lr0 = train_cfg.dis_stylegan_lr * ratio
+    schedule = optax.cosine_decay_schedule(
+        init_value=lr0,
+        decay_steps=dis_opt_cfg.shd_max_iters,
+        alpha=dis_opt_cfg.shd_lr_min / lr0,
+    )
+    return optax.adam(schedule, b1=0.0 ** ratio, b2=0.99 ** ratio,
+                      eps=dis_opt_cfg.eps)
+
+
 @struct.dataclass
 class TrainState:
     step: jax.Array
@@ -45,6 +63,11 @@ class TrainState:
     # Expression negatives queue (reference `prev_targets`,
     # va_losses_and_visuals.py:480-487) as a fixed ring buffer (K, B, D).
     prev_targets: Optional[jax.Array] = None
+    # Mixing-pose history pool (reference `thetas_pool` host list of the last 50
+    # target-theta batches, non_specific.py:137-152; prod random_theta=True samples
+    # the mixing pose from it with prob 0.5). Ring buffer (P, B, 3, 4) + fill count.
+    thetas_pool: Optional[jax.Array] = None
+    thetas_pool_count: Optional[jax.Array] = None
     # EMA of generator params for serving (reference utils/weight_avg.py role);
     # None when cfg.train.ema_decay == 0.
     ema_params: Any = None
@@ -68,6 +91,11 @@ class TrainState:
         dis_params = dis_variables["params"]
         k = max(cfg.train.num_b_negs, 1)
         prev = jnp.zeros((k, batch_size, cfg.model.expression_dim), jnp.float32)
+        thetas_pool = thetas_pool_count = None
+        if cfg.train.pred_mixing and cfg.train.random_theta:
+            thetas_pool = jnp.zeros(
+                (max(cfg.train.thetas_pool_size, 1), batch_size, 3, 4), jnp.float32)
+            thetas_pool_count = jnp.zeros((), jnp.int32)
         ema = None
         if getattr(cfg.train, "ema_decay", 0.0) > 0.0:
             from ..utils.ema import ema_init
@@ -80,7 +108,7 @@ class TrainState:
         sg_params = sg_opt_state = None
         if sg_variables is not None:
             sg_params = sg_variables["params"]
-            sg_opt_state = make_optimizer(cfg.dis_opt).init(sg_params)
+            sg_opt_state = make_stylegan_optimizer(cfg.train, cfg.dis_opt).init(sg_params)
         return cls(
             step=jnp.zeros((), jnp.int32),
             gen_params=gen_params,
@@ -90,6 +118,8 @@ class TrainState:
             dis_sn_state=dis_variables.get("sn_state", {}),
             dis_opt_state=dis_opt.init(dis_params),
             prev_targets=prev,
+            thetas_pool=thetas_pool,
+            thetas_pool_count=thetas_pool_count,
             ema_params=ema,
             dis2_params=dis2_params,
             dis2_sn_state=dis2_sn,

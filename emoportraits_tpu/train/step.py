@@ -34,7 +34,7 @@ from ..losses import (
 from ..losses.expression import cosine_embedding_loss
 from ..losses.gaze import gaze_loss
 from ..models.face_parsing import soft_part_masks
-from .state import TrainState, make_optimizer
+from .state import TrainState, make_optimizer, make_stylegan_optimizer
 
 
 class LossTowers(NamedTuple):
@@ -337,7 +337,23 @@ def gen_losses(
     # --- canonical-volume self-supervision (predict_target_canon_vol, va.py:554-566;
     #     loss at va_losses_and_visuals.py:98-141) ---
     if "canon_volume_from_target" in out and w.volumes_l1 > 0:
-        losses["volumes_l1"] = w.volumes_l1 * jnp.mean(jnp.abs(
+        # schedule (va_losses_and_visuals.py:99-107): active once
+        # epoch >= vol_loss_epoch and the within-epoch iteration > 20, weight
+        # ramped by min((epoch - vol_loss_epoch + 1) / vol_loss_grad, 1)
+        if step_count is not None:
+            ep_len = max(cfg.train.train_epoch_len, 1)
+            ep = step_count // ep_len
+            g_vol = jnp.logical_and(
+                ep >= cfg.train.vol_loss_epoch,
+                step_count % ep_len > cfg.train.vol_loss_iter_start,
+            ).astype(pred.dtype)
+            if cfg.train.vol_loss_grad > 0:
+                g_vol = g_vol * jnp.minimum(
+                    (ep - cfg.train.vol_loss_epoch + 1.0)
+                    / cfg.train.vol_loss_grad, 1.0).astype(pred.dtype)
+        else:
+            g_vol = 1.0
+        losses["volumes_l1"] = g_vol * w.volumes_l1 * jnp.mean(jnp.abs(
             out["canonical_volume"]
             - jax.lax.stop_gradient(out["canon_volume_from_target"])))
     # canonical-volume cosine pull/push (0 in prod; va_losses_and_visuals.py:117-141:
@@ -407,6 +423,39 @@ def gen_losses(
                 losses["contrastive_exp_mix"] = (
                     g_contr * w.contrastive_exp * contrastive_exp_loss(
                         m_cyc, t_emb, out["source_pose_embed"]))
+
+    # --- contrastive_idt (0 in prod; va_losses_and_visuals.py:581-622 with
+    #     reconstructed idt_embed_face_* inputs): InfoNCE (t=0.2, m=0.2) of the
+    #     identity embeds of target/pred/mix aligned crops vs the rolled source
+    #     identity; the mix term waits epoch>=1 with weight 0.5 -> 2 after
+    #     mix_losses_start ---
+    if w.contrastive_idt > 0 and "idt_embed_face" in out and pred.shape[0] > 1:
+        from ..losses.expression import contrastive_loss, cosine_sim
+
+        b_ = pred.shape[0]
+        srcv = out["idt_embed_face"].reshape(b_, -1)
+
+        def _idt_nce(v):
+            v = v.reshape(b_, -1)
+            pos = cosine_sim(v, srcv)
+            negs = jnp.stack([cosine_sim(v, jnp.roll(srcv, i, axis=0))
+                              for i in range(1, b_)])
+            return contrastive_loss(pos, negs, t=0.2, m=0.2)
+
+        losses["contrastive_idt_tar"] = w.contrastive_idt * _idt_nce(
+            out["idt_embed_face_target"])
+        losses["contrastive_idt_pred"] = w.contrastive_idt * _idt_nce(
+            out["idt_embed_face_pred"])
+        if "idt_embed_face_mix" in out:
+            if step_count is not None:
+                ep_ = step_count // max(cfg.train.train_epoch_len, 1)
+                mix_w = jnp.where(ep_ <= cfg.train.mix_losses_start, 0.5, 2.0)
+                gate1 = (ep_ >= 1).astype(pred.dtype)
+            else:
+                mix_w, gate1 = 2.0, 1.0
+            losses["contrastive_idt_mix"] = (
+                gate1 * mix_w * w.contrastive_idt
+                * _idt_nce(out["idt_embed_face_mix"]))
 
     # --- face-part L1s (eyes/mouth/ears, weight 500 each) ---
     # The reference runs its parser live on the target each step, sums SOFT class
@@ -486,6 +535,10 @@ def make_train_step(
             gen_aux["conv_alpha"] = annealing_alpha(
                 state.step, cfg.train.gen_adaptive_annealing_type,
                 cfg.train.gen_adaptive_annealing_max_iter)
+        if state.thetas_pool is not None:
+            gen_aux = dict(gen_aux or {})
+            gen_aux["thetas_pool"] = state.thetas_pool
+            gen_aux["thetas_pool_count"] = state.thetas_pool_count
 
         # ---------------- generator pass ----------------
         def gen_loss_fn(gen_params):
@@ -581,7 +634,7 @@ def make_train_step(
                 return loss
 
             sg_loss, sg_grads = jax.value_and_grad(sg_loss_fn)(state.sg_params)
-            sgu, sg_opt_state = make_optimizer(cfg.dis_opt).update(
+            sgu, sg_opt_state = make_stylegan_optimizer(cfg.train, cfg.dis_opt).update(
                 sg_grads, state.sg_opt_state, state.sg_params)
             sg_params = optax.apply_updates(state.sg_params, sgu)
             metrics["dis/style"] = sg_loss
@@ -604,6 +657,9 @@ def make_train_step(
             dis_params=dis_params,
             dis_opt_state=dis_opt_state,
             prev_targets=prev,
+            thetas_pool=out.get("thetas_pool", state.thetas_pool),
+            thetas_pool_count=out.get("thetas_pool_count",
+                                      state.thetas_pool_count),
             dis2_params=dis2_params,
             dis2_opt_state=dis2_opt_state,
             sg_params=sg_params,

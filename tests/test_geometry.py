@@ -120,6 +120,23 @@ def test_get_mixing_theta_preserves_target_rotation_and_translation():
     u, _ = polar_decompose(jnp.asarray(mix[:, :3, :3]))
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(euler_to_rotation(jnp.asarray(t_rot))), atol=1e-3)
+    # Golden vs the reference composition (non_specific.py:157-187, numpy):
+    # src_stretch * tgt_stretch.mean()/src_stretch.mean() @ tgt_rot @ tgt_trans
+    # on the 4x4-embedded linear/translation factors.
+    def np_polar(m):
+        uu, ss, vt = np.linalg.svd(m)
+        return uu @ vt, vt.T @ (ss[:, None] * vt)
+
+    for b in range(2):
+        s4 = np.eye(4, dtype=np.float64); s4[:3, :] = np.asarray(src)[b, :3, :]
+        t4 = np.eye(4, dtype=np.float64); t4[:3, :] = np.asarray(tgt)[b, :3, :]
+        t_trans = np.eye(4); t_trans[:3, 3] = t4[:3, 3]
+        s_lin = s4.copy(); s_lin[:3, 3] = 0
+        t_lin = t4.copy(); t_lin[:3, 3] = 0
+        _, s_st = np_polar(s_lin)
+        t_r, t_st = np_polar(t_lin)
+        want = (s_st * t_st.mean() / s_st.mean()) @ t_r @ t_trans
+        np.testing.assert_allclose(mix[b], want[:3], atol=1e-4)
 
 
 def test_apply_theta_identity():

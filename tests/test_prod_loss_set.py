@@ -373,7 +373,8 @@ def test_cycle_barlow_volumes_extras_in_step():
             cfg.weights, barlow=1.0, volumes_pull=2.0, volumes_push=2.0,
             warping_reg=1.0, perc_face_pars=3.0, cycle_exp=1.0, cycle_idn=1.0,
             vgg19_cycle_exp=4.0, vgg19_face_cycle_exp=5.0,
-            vgg19_cycle_idn=6.0, vgg19_face_cycle_idn=7.0),
+            vgg19_cycle_idn=6.0, vgg19_face_cycle_idn=7.0,
+            contrastive_idt=1.0),
         train=dataclasses.replace(cfg.train, pred_cycle=True))
     key = jax.random.PRNGKey(0)
     model = VolumetricAvatar(cfg.model)
@@ -407,12 +408,34 @@ def test_cycle_barlow_volumes_extras_in_step():
     for k in ("gen/barlow", "gen/volumes_pull", "gen/volumes_push",
               "gen/warping_reg", "gen/perc_face_pars", "gen/vgg19_cycle_exp",
               "gen/vgg19_face_cycle_exp", "gen/vgg19_cycle_idn",
-              "gen/vgg19_face_cycle_idn"):
+              "gen/vgg19_face_cycle_idn", "gen/contrastive_idt_tar",
+              "gen/contrastive_idt_pred", "gen/contrastive_idt_mix"):
         assert k in metrics, f"{k} missing"
         assert np.isfinite(float(metrics[k])), f"{k} not finite"
     for k in ("gen/barlow", "gen/warping_reg", "gen/perc_face_pars",
               "gen/vgg19_cycle_exp", "gen/vgg19_cycle_idn"):
         assert abs(float(metrics[k])) > 0, f"{k} inactive"
+
+
+def test_thetas_pool_ring_updates(step_run):
+    """prod random_theta (va.py:650, non_specific.py:137-152): the train step keeps
+    a ring of past target-theta batches in TrainState and samples the mixing pose
+    from it with prob 0.5. After one step the first slot holds the batch's target
+    thetas (nonzero) and the fill count is 1; later slots stay empty."""
+    cfg, model, state, new_state, metrics, out, batch, towers, _ = step_run
+    assert cfg.train.random_theta
+    assert state.thetas_pool is not None
+    assert state.thetas_pool.shape == (cfg.train.thetas_pool_size, 2, 3, 4)
+    assert int(new_state.thetas_pool_count) == 1
+    assert float(jnp.abs(new_state.thetas_pool[0]).sum()) > 0
+    assert float(jnp.abs(new_state.thetas_pool[1]).sum()) == 0
+
+
+def test_volumes_l1_fires_when_ungated(step_run):
+    """tiny_config disables the vol_loss_epoch gate, so volumes_l1 must be live at
+    step 0 (the gated-to-zero case rides test_epoch_gates_delay_heavy_losses)."""
+    metrics = step_run[4]
+    assert abs(float(metrics["gen/volumes_l1"])) > 0
 
 
 def test_epoch_gates_delay_heavy_losses(step_run):
@@ -425,7 +448,8 @@ def test_epoch_gates_delay_heavy_losses(step_run):
     cfg, model, state, new_state, metrics, out, batch, towers, _ = step_run
     gated_cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, face_parts_epoch_start=10,
-                                       mix_losses_start=1, contr_losses_start=1))
+                                       mix_losses_start=1, contr_losses_start=1,
+                                       vol_loss_epoch=10, vol_loss_iter_start=20))
     gen_apply = make_gen_apply(gated_cfg, model, towers.head_pose_apply,
                                towers.head_pose_params)
     dis = MultiScaleDiscriminator(gated_cfg.model.discriminator)
@@ -434,7 +458,7 @@ def test_epoch_gates_delay_heavy_losses(step_run):
     _, m = step(state, batch, jax.random.PRNGKey(1))
     for k in ("gen/eyes_l1", "gen/mouth_l1", "gen/ears_l1", "gen/resnet18_fv_mix",
               "gen/pull_exp", "gen/push_exp", "gen/stm",
-              "gen/contrastive_exp_pred"):
+              "gen/contrastive_exp_pred", "gen/volumes_l1"):
         assert float(m[k]) == 0.0, f"{k} should be epoch-gated to zero at step 0"
     for k in ("gen/gen_adversarial", "gen/vgg19", "gen/feature_matching"):
         assert abs(float(m[k])) > 0, f"{k} must stay active at step 0"
@@ -500,3 +524,27 @@ def test_ema_params_update():
     ema = ema_init(params)
     new = ema_update(ema, {"w": jnp.zeros((2, 2))}, cfg.train.ema_decay)
     np.testing.assert_allclose(np.asarray(new["w"]), 0.5)
+
+
+def test_grad_check_per_loss_norms(step_run):
+    """check_grads_of_every_loss role (reference train.py:59,407-409): the grad-check
+    diagnostic reports a positive finite parameter-grad norm per requested loss from
+    ONE shared forward, plus the reference's literal retained d(total)/d(source_img)."""
+    from emoportraits_tpu.train.grad_check import make_grad_check
+
+    cfg, model, state, new_state, metrics, out, batch, towers, _ = step_run
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    check = jax.jit(make_grad_check(
+        cfg, gen_apply, lambda v, img: dis.apply(v, img), towers,
+        keys=("total", "vgg19", "gen_adversarial")))
+    report = check(state, batch, jax.random.PRNGKey(2))
+    assert set(report) == {"total", "vgg19", "gen_adversarial",
+                           "d(total)/d(source_img)"}
+    for k, v in report.items():
+        v = float(v)
+        assert np.isfinite(v) and v > 0, f"{k}: {v}"
+    # total bounds any single component's grad contribution only in direction, not
+    # norm — but vgg19 alone must not exceed the total by orders of magnitude
+    assert float(report["vgg19"]) < 1e4 * float(report["total"])

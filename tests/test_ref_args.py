@@ -84,3 +84,25 @@ def test_normalize_losses_for_display():
     assert out["gen/vgg19_face"] == 10.0 / (w.vgg19_face / 4.0) == 4.0
     assert out["gen/total"] == 188.0  # totals untouched
     assert m["gen/eyes_l1"] == 500.0  # input dict untouched
+
+
+def test_stylegan_optimizer_d_reg_ratio():
+    """va.py:1119-1126: the StyleGAN-D Adam folds d_reg_ratio = 16/17 into lr and
+    betas; cosine-anneals from lr*ratio (torch CosineAnnealingLR uses the opt's own
+    initial lr) to dis_shd_lr_min."""
+    import jax.numpy as jnp
+    from emoportraits_tpu.config import tiny_config
+    from emoportraits_tpu.train.state import make_stylegan_optimizer
+
+    cfg = tiny_config()
+    opt = make_stylegan_optimizer(cfg.train, cfg.dis_opt)
+    params = {"w": jnp.ones((3,))}
+    st = opt.init(params)
+    g = {"w": jnp.ones((3,))}
+    upd, _ = opt.update(g, st, params)
+    ratio = cfg.train.d_reg_every / (cfg.train.d_reg_every + 1)
+    # b1 = 0**ratio = 0 -> first-step Adam update is exactly -lr0 * sign-ish
+    # (m = g, v = (1-b2)*g^2 bias-corrected back to g^2) -> step = -lr0 * g/|g|
+    lr0 = cfg.train.dis_stylegan_lr * ratio
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(upd["w"]), -lr0, rtol=1e-4)
