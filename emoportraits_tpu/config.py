@@ -312,6 +312,12 @@ class TrainConfig:
     gen_adaptive_annealing_max_iter: int = 100_000
     green: bool = True               # green-screen background compositing
     sec_dataset_every: int = 4       # FEED batch-splicing cadence (train.py:233-249)
+    # when >0, every mead_as_second_every-th splice uses the FEED stream and the
+    # rest use MEAD (reference train.py:233-237 alternation counter)
+    mead_as_second_every: int = 0
+    # eval batches per epoch: 0 = the full held-out epoch like the reference
+    # (train.py:305-353); the default caps smoke runs at 8 batches
+    eval_max_batches: int = 8
     # epoch gates (reference va_losses_and_visuals.py:182,325,458): the heavy
     # face-part L1s wait 10 epochs; fv_mix and the contrastive family wait 1
     mix_losses_start: int = 1

@@ -130,6 +130,39 @@ def _affine_sample(img: np.ndarray, mat: np.ndarray) -> np.ndarray:
     return (out * inside).astype(img.dtype)
 
 
+def ffhq_align_warp(img: np.ndarray, theta: np.ndarray, out_size: int,
+                    align_scale: float = 1.33) -> np.ndarray:
+    """FFHQ-aligned crop from the stored per-frame theta (2x3, normalized coords).
+
+    Mirrors the reference align block (datasets/voxceleb2hq_pairs.py:321-348):
+    theta_ = [theta; 0 0 1] @ diag(align_scale, align_scale, 1), then
+    F.grid_sample(img, identity_grid @ theta_[:2]^T) with align_corners=False and
+    zero padding. Output pixel (oy, ox) -> normalized (u, v) -> theta(u*s, v*s, 1)
+    -> source pixel. Works on HWC float images and HW1 masks."""
+    h, w = img.shape[:2]
+    S = out_size
+    idx = (2.0 * np.arange(S, dtype=np.float32) + 1.0) / S - 1.0
+    u = idx[None, :] * align_scale           # (1, S)
+    v = idx[:, None] * align_scale           # (S, 1)
+    sx_n = theta[0, 0] * u + theta[0, 1] * v + theta[0, 2]
+    sy_n = theta[1, 0] * u + theta[1, 1] * v + theta[1, 2]
+    # unnormalize (align_corners=False): px = ((x + 1) * size - 1) / 2
+    sx = ((sx_n + 1.0) * w - 1.0) * 0.5
+    sy = ((sy_n + 1.0) * h - 1.0) * 0.5
+    inside = ((sx >= -1) & (sx <= w) & (sy >= -1) & (sy <= h))[..., None]
+    sx = np.clip(sx, 0, w - 1)
+    sy = np.clip(sy, 0, h - 1)
+    y0 = np.floor(sy).astype(int)
+    x0 = np.floor(sx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (sy - y0)[..., None]
+    fx = (sx - x0)[..., None]
+    out = (img[y0, x0] * (1 - fy) * (1 - fx) + img[y0, x1] * (1 - fy) * fx
+           + img[y1, x0] * fy * (1 - fx) + img[y1, x1] * fy * fx)
+    return (out * inside).astype(np.float32)
+
+
 def random_rotate_pair(arrays: Tuple[np.ndarray, ...], rng: np.random.Generator,
                        limit_deg: float,
                        keypoints: Optional[np.ndarray] = None):

@@ -51,39 +51,63 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.emod_sample_pairs.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
         fp, fp, fp, fp, fp, fp]
+    lib.emod_sample_pairs2.restype = ctypes.c_int
+    lib.emod_sample_pairs2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+        fp, fp, fp, fp, fp, fp, fp, fp, fp, fp, ctypes.c_int, ctypes.c_float]
     lib.emod_close.argtypes = [ctypes.c_void_p]
     return lib
 
 
+# optional per-frame geometry payload (EMOS2): flag bit + trailing shape; order
+# matters (the C++ reader consumes fields in this sequence)
+_V2_FIELDS = (
+    ("keypoints", 1, (68, 3)),
+    ("ffhq_theta", 2, (2, 3)),
+    ("params_3dmm", 4, (17,)),
+    ("crop_box", 8, (4,)),
+    ("face_scale", 16, ()),
+)
+
+
 def write_native_store(root: str, clips: Dict[str, Dict[str, np.ndarray]],
                        shard_size: int = 8) -> None:
-    """Write clips into EMOS1 binary shards (native-readable)."""
+    """Write clips into EMOS binary shards (native-readable). Emits version 2 when any
+    clip carries geometry payload beyond keypoints (FFHQ thetas / 3DMM params /
+    crop boxes / face scales — the reference per-item payload,
+    datasets/voxceleb2hq_pairs.py:233-256), else version 1."""
     os.makedirs(root, exist_ok=True)
     names = sorted(clips)
+    version = 2 if any(
+        f in clips[n] for n in names for f, _b, _s in _V2_FIELDS[1:]) else 1
     for si in range(0, len(names), shard_size):
         shard_names = names[si:si + shard_size]
         path = os.path.join(root, f"shard_{si // shard_size:05d}.emos")
         with open(path, "wb") as f:
-            f.write(struct.pack("<III", MAGIC, 1, len(shard_names)))
+            f.write(struct.pack("<III", MAGIC, version, len(shard_names)))
             for name in shard_names:
                 c = clips[name]
                 frames = np.ascontiguousarray(c["frames"], np.uint8)
                 masks = np.ascontiguousarray(c["masks"], np.uint8)
                 t, h, w, _ = frames.shape
-                has_kp = 1 if "keypoints" in c else 0
-                f.write(struct.pack("<IIII", t, h, w, has_kp))
+                fields = _V2_FIELDS if version == 2 else _V2_FIELDS[:1]
+                flags = sum(bit for fname, bit, _s in fields if fname in c)
+                f.write(struct.pack("<IIII", t, h, w, flags))
                 f.write(frames.tobytes())
                 f.write(masks.tobytes())
-                if has_kp:
-                    f.write(np.ascontiguousarray(
-                        c["keypoints"], np.float32).tobytes())
+                for fname, bit, shape in fields:
+                    if fname in c:
+                        arr = np.ascontiguousarray(c[fname], np.float32)
+                        assert arr.shape == (t,) + shape, (fname, arr.shape)
+                        f.write(arr.tobytes())
 
 
 class NativePairLoader:
     """batches() API-compatible with data.pairs.PairDataset, backed by C++ threads."""
 
     def __init__(self, root: str, image_size: int, *, augment: bool = True,
-                 seed: int = 0, num_threads: int = 0):
+                 seed: int = 0, num_threads: int = 0,
+                 ffhq_size: int = 0, align_scale: float = 1.33):
         self.lib = _load_lib()
         if self.lib is None:
             raise RuntimeError("native loader library unavailable; "
@@ -101,6 +125,10 @@ class NativePairLoader:
         self.augment = augment
         self.seed = seed
         self._step = 0
+        # >0 requests FFHQ-aligned target crops at this resolution (stage-2 ground
+        # truth; requires the store to carry ffhq_theta — EMOS2 converter output)
+        self.ffhq_size = ffhq_size
+        self.align_scale = align_scale
 
     def __del__(self):
         if getattr(self, "handle", None) and getattr(self, "lib", None):
@@ -129,19 +157,35 @@ class NativePairLoader:
         else:
             src_aug = tgt_aug = None
             p_sa = p_ta = ctypes.cast(None, fp)
-        rc = self.lib.emod_sample_pairs(
+        src_kp, p_skp = buf((batch_size, 68, 3))
+        tgt_kp, p_tkp = buf((batch_size, 68, 3))
+        sf = self.ffhq_size
+        if sf > 0:
+            ffhq, p_ff = buf((batch_size, sf, sf, 3))
+            ffhq_mask, p_ffm = buf((batch_size, sf, sf, 1))
+        else:
+            ffhq = ffhq_mask = None
+            p_ff = p_ffm = ctypes.cast(None, fp)
+        rc = self.lib.emod_sample_pairs2(
             self.handle, batch_size, s,
             ctypes.c_uint64(self.seed * 1_000_003 + self._step),
             1 if self.augment else 0,
-            p_src, p_tgt, p_smask, p_tmask, p_sa, p_ta)
-        if rc != 0:
-            raise RuntimeError(f"emod_sample_pairs failed rc={rc}")
+            p_src, p_tgt, p_smask, p_tmask, p_sa, p_ta,
+            p_skp, p_tkp, p_ff, p_ffm, sf, self.align_scale)
+        if rc < 0:
+            raise RuntimeError(f"emod_sample_pairs2 failed rc={rc}")
         self._step += 1
         out = {"source_img": src, "target_img": tgt,
                "source_mask": smask, "target_mask": tmask}
         if self.augment:
             out["source_warp_aug"] = src_aug
             out["target_warp_aug"] = tgt_aug
+        if rc & 1:  # store carries keypoints
+            out["source_keypoints"] = src_kp
+            out["target_keypoints"] = tgt_kp
+        if sf > 0 and (rc & 2):  # store carries FFHQ thetas
+            out["target_img_ffhq"] = ffhq
+            out["target_mask_ffhq"] = ffhq_mask
         return out
 
     def batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:

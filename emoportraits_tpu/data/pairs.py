@@ -35,6 +35,7 @@ class PairDataset:
                  augment: bool = True, augment_geometric: bool = True, seed: int = 0,
                  rot_aug_angle: float = 0.0, shift_limit: float = 0.0,
                  rand_shift_prob: float = 0.0,
+                 ffhq_size: int = 0, align_scale: float = 1.33,
                  process_index: int = 0, process_count: int = 1):
         self.store = store
         self.image_size = image_size
@@ -45,6 +46,13 @@ class PairDataset:
         self.rot_aug_angle = rot_aug_angle
         self.shift_limit = shift_limit
         self.rand_shift_prob = rand_shift_prob
+        # >0: also emit target_img_ffhq/target_mask_ffhq crops at this resolution
+        # from the stored per-frame FFHQ theta (stage-2 ground truth; the reference
+        # aligns with theta @ diag(align_scale), voxceleb2hq_pairs.py:321-348).
+        # Crops come from the UN-augmented frame — the stored theta addresses
+        # original frame coordinates.
+        self.ffhq_size = ffhq_size
+        self.align_scale = align_scale
         self.rng = np.random.default_rng(seed + process_index)
         # per-host shard of the clip list (replaces DistributedSampler)
         n = len(store)
@@ -72,6 +80,16 @@ class PairDataset:
                 skp = data["keypoints"][0] if "keypoints" in data else None
                 tkp = data["keypoints"][1] if "keypoints" in data else None
                 out = {}
+                if self.ffhq_size > 0 and "ffhq_theta" in data:
+                    from .augment import ffhq_align_warp
+
+                    # stage-2 ground truth from the stored theta + raw frame
+                    out["target_img_ffhq"] = ffhq_align_warp(
+                        frames[1], data["ffhq_theta"][1], self.ffhq_size,
+                        self.align_scale)
+                    out["target_mask_ffhq"] = ffhq_align_warp(
+                        masks[1], data["ffhq_theta"][1], self.ffhq_size,
+                        self.align_scale)
                 if self.augment:
                     if self.augment_geometric:
                         # independent crop params per frame (reference
@@ -196,9 +214,18 @@ class Prefetcher:
 
 
 class InterleavedStream:
-    """Main stream + optional second/third streams with the reference cadence:
-    every `sec_dataset_every` steps the batch is spliced with the FEED stream, and
-    every `mead_every` with the MEAD stream (train.py:132-139, 233-249)."""
+    """Main stream + optional FEED/MEAD streams with the reference cadence
+    (train.py:233-249). Exactly ONE auxiliary stream splices any given batch:
+
+      * even `sec_dataset_every` E (prod E=4): splice at steps where
+        `step % (E//2) == 0`, i.e. every E/2 iterations (reference else-branch);
+      * odd E: splice at `step % E in {0, E-1}` (the `i%E==0 or (i+1)%E==0` branch);
+      * stream choice per splice: MEAD when `mead_every > 0` and the running splice
+        counter is NOT a multiple of `mead_every`, otherwise FEED — so FEED fires on
+        every `mead_every`-th splice and MEAD on the rest (train.py:233-237). The
+        reference only advances the counter on the even-E path; we advance it on
+        every splice (the odd-E reference path would otherwise never reach MEAD).
+    """
 
     def __init__(self, main: Iterator, second: Optional[Iterator] = None,
                  third: Optional[Iterator] = None, sec_dataset_every: int = 4,
@@ -209,17 +236,28 @@ class InterleavedStream:
         self.sec_every = sec_dataset_every
         self.mead_every = mead_every
         self.step = 0
+        self.splice_count = 0
 
     def __iter__(self):
         return self
 
+    def _should_splice(self) -> bool:
+        e = self.sec_every
+        if self.second is None and self.third is None or e <= 0:
+            return False
+        if e % 2 == 0:
+            return self.step % max(e // 2, 1) == 0
+        return self.step % e in (0, e - 1)
+
     def __next__(self) -> Dict[str, np.ndarray]:
         batch = next(self.main)
-        if self.second is not None and self.sec_every > 0 \
-                and self.step % self.sec_every == 0:
-            batch = splice_batches(batch, next(self.second))
-        elif self.third is not None and self.mead_every > 0 \
-                and self.step % self.mead_every == 0:
-            batch = splice_batches(batch, next(self.third))
+        if self._should_splice():
+            use_mead = (self.third is not None and self.mead_every > 0
+                        and self.splice_count % self.mead_every != 0)
+            aux = self.third if use_mead else self.second
+            if aux is None:  # FEED slot but only MEAD supplied
+                aux = self.third
+            batch = splice_batches(batch, next(aux))
+            self.splice_count += 1
         self.step += 1
         return batch

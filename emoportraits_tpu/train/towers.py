@@ -39,6 +39,24 @@ class FrozenNets(NamedTuple):
     # RTNet-role tanh-polar parser for the use_old_fp=False ibug branch
     # (va.py:300-321): (apply, params): (img01, keypoints) -> (B,H,W,1) face prob
     rtnet: Optional[Tuple] = None
+    # per-tower weight provenance: 'ported' (real checkpoint supplied), 'random'
+    # (full architecture, random init), 'tiny' (miniature stand-in); matting reports
+    # 'modnet_ported' vs 'standin_*' so a prod run can't silently use the stand-in
+    provenance: Dict[str, str] = {}
+
+
+def assert_towers_ported(frozen: FrozenNets) -> None:
+    """Strict-towers gate: every built tower must carry ported real weights.
+
+    The reference always loads real frozen evaluators from disk
+    (va_losses_and_visuals.py:726-795); random/tiny towers are a test-only
+    convenience here, so `--strict-towers` runs fail loudly on them."""
+    bad = {k: v for k, v in frozen.provenance.items()
+           if v not in ("ported", "modnet_ported")}
+    if bad:
+        raise RuntimeError(
+            "strict-towers: these frozen towers lack ported real weights: "
+            f"{bad}. Supply them via tower_variables (port/cli.py towers ...).")
 
 
 def build_loss_towers(
@@ -260,5 +278,31 @@ def build_loss_towers(
                 keys[6], init_img)
             matting = (lambda p, img, _n=mt_net: _n.apply(p, img), mt_params)
 
+    # --- provenance: which towers run real ported weights vs stand-ins ---
+    default_kind = "tiny" if tiny else "random"
+    prov: Dict[str, str] = {}
+    for kw_key, var_name in (
+            ("head_pose_params", "head_pose"), ("vgg19_params", "vgg19"),
+            ("vggface_params", "vggface"), ("gaze_params", "gaze"),
+            ("face_resnet_params", "face_resnet"),
+            ("emotion_vgg_params", "emotion_vgg"),
+            ("emotion_resnet_params", "emotion_resnet"),
+            ("landmark_params", "landmark"),
+            ("face_vector_params", "face_vector"),
+            ("face_parsing_params", "face_parsing")):
+        if kw_key in kw:
+            prov[var_name] = ("ported" if variables.get(var_name) is not None
+                              else default_kind)
+    if rtnet is not None:
+        prov["rtnet"] = ("ported" if variables.get("rtnet") is not None
+                         else default_kind)
+    if matting is not None:
+        if variables.get("modnet") is not None:
+            prov["matting"] = "modnet_ported"
+        elif variables.get("matting") is not None:
+            prov["matting"] = "standin_ported"
+        else:
+            prov["matting"] = f"standin_{default_kind}"
+
     return LossTowers(**kw), FrozenNets(face_parsing=face_parsing, matting=matting,
-                                        rtnet=rtnet)
+                                        rtnet=rtnet, provenance=prov)

@@ -44,7 +44,8 @@ class Trainer:
                  custom_test_images: Optional["np.ndarray"] = None,
                  towers: Optional[LossTowers] = None,
                  frozen_nets: Optional[FrozenNets] = None,
-                 tiny_towers: bool = False):
+                 tiny_towers: bool = False,
+                 strict_towers: bool = False):
         self.cfg = cfg
         self.train_stream = train_stream
         self.test_stream = test_stream
@@ -80,6 +81,13 @@ class Trainer:
                 frozen_nets = frozen_nets or built_frozen
         self.towers = towers
         self.frozen_nets = frozen_nets or FrozenNets()
+        # tower provenance: surfaced in logs so a prod run can't silently train
+        # against random/stand-in evaluators (strict mode fails loudly)
+        if self.frozen_nets.provenance:
+            print(f"towers/provenance: {self.frozen_nets.provenance}")
+        if strict_towers:
+            from .towers import assert_towers_ported
+            assert_towers_ported(self.frozen_nets)
         gen_apply = make_gen_apply(
             cfg, self.model, towers.head_pose_apply, towers.head_pose_params,
             face_parsing=self.frozen_nets.face_parsing,
@@ -139,10 +147,11 @@ class Trainer:
     # ------------------------------------------------------------------- loops
 
     # every array the step consumes travels to device; the warp-aug expression
-    # inputs and the part-loss masks matter (eyes/mouth/ears L1 weight 500 each)
+    # inputs feed the expression embedder and the keypoints feed gaze/eye crops.
+    # (eyes/mouth/ears part masks are NOT batch inputs: they come from the live
+    # BiSeNet pass inside the step, train/step.py part-mask branch.)
     _BATCH_KEYS = ("source_img", "target_img", "source_mask", "target_mask",
                    "source_warp_aug", "target_warp_aug",
-                   "eyes_mask", "mouth_mask", "ears_mask",
                    "source_keypoints", "target_keypoints")
 
     def train_epoch(self, num_iters: Optional[int] = None) -> Dict[str, float]:
@@ -180,9 +189,10 @@ class Trainer:
         if self.test_stream is None:
             return {}
         if num_batches is None:
-            num_batches = max(1, min(
-                8, self.cfg.train.test_epoch_len // max(
-                    self.cfg.train.test_batch_size, 1) // 64))
+            full = max(1, self.cfg.train.test_epoch_len
+                       // max(self.cfg.train.test_batch_size, 1))
+            cap = self.cfg.train.eval_max_batches
+            num_batches = full if cap <= 0 else min(full, cap)
         if self._eval_drive is None:
             m = self.model
             enc = jax.jit(lambda v, s_, mk, t: m.apply(v, s_, mk, t,

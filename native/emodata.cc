@@ -6,12 +6,18 @@
 // augmentation — runs in C++ worker threads over mmap'd shards, filling caller-provided
 // float32 batch buffers that Python hands straight to jax.device_put.
 //
-// Shard format "EMOS1" (written by emoportraits_tpu.data.native.write_native_store):
-//   [ magic u32 'EMOS' ][ version u32 =1 ][ num_clips u32 ]
-//   per clip: [ num_frames u32 ][ h u32 ][ w u32 ][ has_kp u8 ][ pad u8*3 ]
+// Shard format "EMOS" (written by emoportraits_tpu.data.native.write_native_store):
+//   [ magic u32 'EMOS' ][ version u32 ][ num_clips u32 ]
+//   per clip: [ num_frames u32 ][ h u32 ][ w u32 ][ flags u32 ]
 //             frames  u8  [num_frames][h][w][3]
 //             masks   u8  [num_frames][h][w]
-//             kps     f32 [num_frames][68][3]      (if has_kp)
+//             kps     f32 [num_frames][68][3]      (flags bit0)
+//   version 2 appends the rest of the reference per-item geometry payload
+//   (datasets/voxceleb2hq_pairs.py:233-256):
+//             theta   f32 [num_frames][2][3]       (flags bit1, FFHQ-align theta)
+//             p3dmm   f32 [num_frames][17]         (flags bit2, R9+offset3+roi4+size1)
+//             crop    f32 [num_frames][4]          (flags bit3)
+//             fscale  f32 [num_frames]             (flags bit4)
 //
 // C ABI (ctypes-friendly): see emod_* functions at the bottom.
 
@@ -39,6 +45,10 @@ struct Clip {
   const uint8_t* frames = nullptr;  // [T][h][w][3]
   const uint8_t* masks = nullptr;   // [T][h][w]
   const float* kps = nullptr;       // [T][68][3] or null
+  const float* thetas = nullptr;    // [T][2][3] or null (FFHQ-align theta)
+  const float* p3dmm = nullptr;     // [T][17] or null
+  const float* crop_box = nullptr;  // [T][4] or null
+  const float* fscale = nullptr;    // [T] or null
   uint32_t num_frames = 0, h = 0, w = 0;
 };
 
@@ -69,22 +79,34 @@ bool load_shard(Store* store, const std::string& path) {
   };
   uint32_t magic = 0, version = 0, num_clips = 0;
   if (!rd_u32(&magic) || magic != 0x534F4D45u) return false;  // 'EMOS'
-  if (!rd_u32(&version) || version != 1) return false;
+  if (!rd_u32(&version) || (version != 1 && version != 2)) return false;
   if (!rd_u32(&num_clips)) return false;
 
   for (uint32_t i = 0; i < num_clips; ++i) {
     Clip c;
-    uint32_t has_kp_and_pad = 0;
+    uint32_t flags = 0;
     if (!rd_u32(&c.num_frames) || !rd_u32(&c.h) || !rd_u32(&c.w) ||
-        !rd_u32(&has_kp_and_pad))
+        !rd_u32(&flags))
       return false;
-    size_t fbytes = size_t(c.num_frames) * c.h * c.w * 3;
-    size_t mbytes = size_t(c.num_frames) * c.h * c.w;
-    size_t kbytes = (has_kp_and_pad & 1u) ? size_t(c.num_frames) * 68 * 3 * 4 : 0;
-    if (p + fbytes + mbytes + kbytes > end) return false;
+    size_t T = c.num_frames;
+    size_t fbytes = T * c.h * c.w * 3;
+    size_t mbytes = T * c.h * c.w;
+    auto take_f32 = [&](const float** dst, size_t count) {
+      if (p + count * 4 > end) return false;
+      *dst = reinterpret_cast<const float*>(p);
+      p += count * 4;
+      return true;
+    };
+    if (p + fbytes + mbytes > end) return false;
     c.frames = p; p += fbytes;
     c.masks = p; p += mbytes;
-    if (kbytes) { c.kps = reinterpret_cast<const float*>(p); p += kbytes; }
+    if ((flags & 1u) && !take_f32(&c.kps, T * 68 * 3)) return false;
+    if (version >= 2) {
+      if ((flags & 2u) && !take_f32(&c.thetas, T * 6)) return false;
+      if ((flags & 4u) && !take_f32(&c.p3dmm, T * 17)) return false;
+      if ((flags & 8u) && !take_f32(&c.crop_box, T * 4)) return false;
+      if ((flags & 16u) && !take_f32(&c.fscale, T)) return false;
+    }
     store->clips.push_back(c);
   }
   return true;
@@ -188,6 +210,42 @@ void process_frame(const Clip& clip, int t, int S, const AugParams* aug,
   }
 }
 
+// FFHQ-aligned crop: out pixel -> normalized grid (u,v) in [-1,1] -> theta applied
+// to (u*align_scale, v*align_scale, 1) -> source coords. This mirrors the reference
+// align block (datasets/voxceleb2hq_pairs.py:321-348): theta_ = [theta; 0 0 1] @
+// diag(align_scale, align_scale, 1), warp = grid @ theta_[:2]^T, then
+// F.grid_sample(img, warp) with align_corners=False and zero padding.
+void warp_frame_ffhq(const Clip& clip, int t, int S, const float* theta,
+                     float align_scale, float* out, float* out_mask) {
+  int h = clip.h, w = clip.w;
+  const uint8_t* img = clip.frames + size_t(t) * h * w * 3;
+  const uint8_t* msk = clip.masks + size_t(t) * h * w;
+  for (int oy = 0; oy < S; ++oy) {
+    float v = (2.0f * oy + 1.0f) / S - 1.0f;  // align_corners=False grid
+    for (int ox = 0; ox < S; ++ox) {
+      float u = (2.0f * ox + 1.0f) / S - 1.0f;
+      float us = u * align_scale, vs = v * align_scale;
+      float sx_n = theta[0] * us + theta[1] * vs + theta[2];
+      float sy_n = theta[3] * us + theta[4] * vs + theta[5];
+      // unnormalize (align_corners=False): px = ((x + 1) * size - 1) / 2
+      float sx = ((sx_n + 1.0f) * w - 1.0f) * 0.5f;
+      float sy = ((sy_n + 1.0f) * h - 1.0f) * 0.5f;
+      float* o = out + (size_t(oy) * S + ox) * 3;
+      float* om = out_mask ? out_mask + size_t(oy) * S + ox : nullptr;
+      if (sx < -1.0f || sy < -1.0f || sx > float(w) || sy > float(h)) {
+        o[0] = o[1] = o[2] = 0.0f;  // zero padding outside the frame
+        if (om) *om = 0.0f;
+        continue;
+      }
+      float px[3], m;
+      fetch_bilinear(img, h, w, 3, sy, sx, px);
+      fetch_bilinear(msk, h, w, 1, sy, sx, &m);
+      o[0] = px[0]; o[1] = px[1]; o[2] = px[2];
+      if (om) *om = m;
+    }
+  }
+}
+
 struct ThreadPool {
   std::vector<std::thread> workers;
   std::queue<std::function<void()>> tasks;
@@ -268,21 +326,31 @@ int emod_num_clips(void* handle) {
   return static_cast<int>(static_cast<Loader*>(handle)->store.clips.size());
 }
 
-// Fills a batch of (source, target) pairs.
-//   out_src/out_tgt:   [batch][S][S][3] float32
+// Fills a batch of (source, target) pairs (v2 surface).
+//   out_src/out_tgt:     [batch][S][S][3] float32
 //   out_smask/out_tmask: [batch][S][S][1] float32
 //   out_src_aug/out_tgt_aug: elastic-warped expression-net inputs (may be null)
-// Threaded over batch elements. Returns 0 on success.
-int emod_sample_pairs(void* handle, int batch, int image_size, uint64_t seed,
-                      int augment, float* out_src, float* out_tgt,
-                      float* out_smask, float* out_tmask,
-                      float* out_src_aug, float* out_tgt_aug) {
+//   out_src_kp/out_tgt_kp:   [batch][68][3] 3D keypoints (may be null; flipped
+//                            with the photometric flip, x in [-1,1])
+//   out_tgt_ffhq/out_tgt_ffhq_mask: [batch][Sf][Sf][3 / 1] FFHQ-aligned target
+//                            crop from the stored theta — the stage-2 ground
+//                            truth (may be null). Warps the UN-augmented frame.
+// Threaded over batch elements. Returns a feature bitmask >= 0 on success
+// (bit0: keypoints delivered, bit1: ffhq thetas delivered) or -1 on error.
+int emod_sample_pairs2(void* handle, int batch, int image_size, uint64_t seed,
+                       int augment, float* out_src, float* out_tgt,
+                       float* out_smask, float* out_tmask,
+                       float* out_src_aug, float* out_tgt_aug,
+                       float* out_src_kp, float* out_tgt_kp,
+                       float* out_tgt_ffhq, float* out_tgt_ffhq_mask,
+                       int ffhq_size, float align_scale) {
   auto* loader = static_cast<Loader*>(handle);
   auto& clips = loader->store.clips;
-  if (clips.empty()) return 1;
+  if (clips.empty()) return -1;
   int S = image_size;
+  std::atomic<int> feat{3};
   for (int b = 0; b < batch; ++b) {
-    loader->pool.submit([=, &clips] {
+    loader->pool.submit([=, &clips, &feat] {
       Rng rng(seed * 1000003ull + b);
       const Clip& clip = clips[rng.randint(static_cast<int>(clips.size()))];
       int si = rng.randint(clip.num_frames);
@@ -308,10 +376,49 @@ int emod_sample_pairs(void* handle, int batch, int image_size, uint64_t seed,
         process_frame(clip, ti, S, &eaug, true, out_tgt_aug + img_off,
                       scratch.data());
       }
+      if (out_src_kp && out_tgt_kp) {
+        if (clip.kps) {
+          float sign = (ap && ap->flip) ? -1.0f : 1.0f;
+          for (int j = 0; j < 68; ++j) {
+            for (int d = 0; d < 3; ++d) {
+              float sv = clip.kps[(size_t(si) * 68 + j) * 3 + d];
+              float tv = clip.kps[(size_t(ti) * 68 + j) * 3 + d];
+              out_src_kp[(size_t(b) * 68 + j) * 3 + d] = d == 0 ? sv * sign : sv;
+              out_tgt_kp[(size_t(b) * 68 + j) * 3 + d] = d == 0 ? tv * sign : tv;
+            }
+          }
+        } else {
+          feat &= ~1;
+        }
+      }
+      if (out_tgt_ffhq) {
+        if (clip.thetas) {
+          warp_frame_ffhq(clip, ti, ffhq_size, clip.thetas + size_t(ti) * 6,
+                          align_scale,
+                          out_tgt_ffhq + size_t(b) * ffhq_size * ffhq_size * 3,
+                          out_tgt_ffhq_mask
+                              ? out_tgt_ffhq_mask + size_t(b) * ffhq_size * ffhq_size
+                              : nullptr);
+        } else {
+          feat &= ~2;
+        }
+      }
     });
   }
   loader->pool.wait();
-  return 0;
+  return feat.load();
+}
+
+// v1 ABI kept for existing callers.
+int emod_sample_pairs(void* handle, int batch, int image_size, uint64_t seed,
+                      int augment, float* out_src, float* out_tgt,
+                      float* out_smask, float* out_tmask,
+                      float* out_src_aug, float* out_tgt_aug) {
+  int rc = emod_sample_pairs2(handle, batch, image_size, seed, augment, out_src,
+                              out_tgt, out_smask, out_tmask, out_src_aug,
+                              out_tgt_aug, nullptr, nullptr, nullptr, nullptr, 0,
+                              1.0f);
+  return rc < 0 ? 1 : 0;
 }
 
 void emod_close(void* handle) { delete static_cast<Loader*>(handle); }

@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 if "xla_backend_optimization_level" not in flags:
     flags += (" --xla_backend_optimization_level=0"
               " --xla_llvm_disable_expensive_passes=true")
+if "xla_cpu_max_isa" not in flags:
+    # pin codegen to a portable ISA so persistent-cache entries load on any
+    # x86-64-v3 host (unpinned AOT entries SIGILL-risk on foreign machines —
+    # the round-2 dryrun flake)
+    flags += " --xla_cpu_max_isa=AVX2"
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

@@ -52,11 +52,31 @@ def test_interleave_cadence():
         while True:
             yield {"x": np.full((2, 1), v)}
 
-    s = InterleavedStream(const_stream(0.0), const_stream(1.0), sec_dataset_every=2)
+    # prod cadence E=4 (even): reference else-branch splices at i % (E//2) == 0
+    # (train.py:240-249), i.e. every 2nd iteration
+    s = InterleavedStream(const_stream(0.0), const_stream(1.0), sec_dataset_every=4)
     b0, b1, b2 = next(s), next(s), next(s)
     assert b0["x"][1, 0] == 1.0   # step 0: spliced
     assert b1["x"][1, 0] == 0.0   # step 1: main only
     assert b2["x"][1, 0] == 1.0   # step 2: spliced
+    # odd E: splice at i % E in {0, E-1} (train.py:240-243)
+    s = InterleavedStream(const_stream(0.0), const_stream(1.0), sec_dataset_every=3)
+    vals = [next(s)["x"][1, 0] for _ in range(6)]
+    assert vals == [1.0, 0.0, 1.0, 1.0, 0.0, 1.0]
+
+
+def test_interleave_mead_alternation():
+    """FEED fires on every mead_every-th splice, MEAD on the rest
+    (reference train.py:233-237 second_iter_count alternation)."""
+    def const_stream(v):
+        while True:
+            yield {"x": np.full((2, 1), v)}
+
+    s = InterleavedStream(const_stream(0.0), const_stream(1.0), const_stream(2.0),
+                          sec_dataset_every=4, mead_every=3)
+    spliced = [next(s)["x"][1, 0] for _ in range(8)]
+    # steps 0,2,4,6 splice; splice counter 0 -> FEED, 1 -> MEAD, 2 -> MEAD, 3 -> FEED
+    assert spliced == [1.0, 0.0, 2.0, 0.0, 2.0, 0.0, 1.0, 0.0]
 
 
 def test_augment_shapes_and_ranges():

@@ -47,6 +47,13 @@ def main():
                         "(ZeRO-3 semantics; default: replicated DP)")
     p.add_argument("--ref-args", type=str, default=None,
                    help="build the config from a reference args.txt snapshot")
+    p.add_argument("--towers-dir", type=str, default=None,
+                   help="directory of ported frozen-tower .npz files from "
+                        "`python -m emoportraits_tpu.port.cli <tower> ...` "
+                        "(head_pose.npz, face_parsing.npz, modnet.npz, gaze.npz, ...)")
+    p.add_argument("--strict-towers", action="store_true",
+                   help="fail unless every frozen tower runs ported real weights "
+                        "(provenance surfaced at startup either way)")
     args = p.parse_args()
 
     from emoportraits_tpu.config import ExperimentConfig, tiny_config
@@ -82,7 +89,8 @@ def main():
     if args.synthetic or args.data_root is None:
         root = tempfile.mkdtemp(prefix="emoportraits_synth_")
         make_synthetic_store(root, num_clips=8, frames_per_clip=8,
-                             image_size=cfg.train.image_size)
+                             image_size=cfg.train.image_size,
+                             with_geometry=args.stage2)
         args.data_root = root
 
     def make_stream(root, split="train"):
@@ -94,16 +102,22 @@ def main():
             try:
                 from emoportraits_tpu.data.native import NativePairLoader
 
-                loader = NativePairLoader(root, cfg.train.image_size,
-                                          seed=cfg.train.seed)
-                if loader.num_clips() > 0:
+                # stage-2 runs want FFHQ-aligned target crops from the stored
+                # thetas (EMOS2 payload) as ground truth
+                loader = NativePairLoader(
+                    root, cfg.train.image_size, seed=cfg.train.seed,
+                    ffhq_size=cfg.train.image_size if args.stage2 else 0)
+                if loader.num_clips > 0:
                     print(f"using native emodata loader for {root}")
                     return loader.batches(gb)
-            except Exception:
-                pass
+            except FileNotFoundError:
+                pass  # no .emos shards at this root: use the Python npz reader
+            except Exception as e:
+                print(f"native loader unavailable for {root}: {e}")
         store = ShardedClipStore(root, split=split)
         ds = PairDataset(store, cfg.train.image_size, augment=(split == "train"),
                          seed=cfg.train.seed,
+                         ffhq_size=cfg.train.image_size if args.stage2 else 0,
                          process_index=jax.process_index(),
                          process_count=jax.process_count())
         return ds.batches(gb)
@@ -129,8 +143,21 @@ def main():
         _train_stage2(cfg, args, train_stream)
         return
 
+    tower_variables = None
+    if args.towers_dir:
+        import os
+
+        from emoportraits_tpu.port.cli import load_ported
+
+        tower_variables = {
+            os.path.splitext(f)[0]: load_ported(os.path.join(args.towers_dir, f))
+            for f in sorted(os.listdir(args.towers_dir)) if f.endswith(".npz")}
+        print(f"loaded ported towers: {sorted(tower_variables)}")
+
     trainer = Trainer(cfg, train_stream, test_stream,
-                      log_dir=args.log_dir, checkpoint_dir=args.checkpoint_dir)
+                      log_dir=args.log_dir, checkpoint_dir=args.checkpoint_dir,
+                      tower_variables=tower_variables,
+                      strict_towers=args.strict_towers)
     trainer.fit(epochs=args.epochs, iters_per_epoch=args.iters)
 
 
@@ -221,10 +248,26 @@ def _train_stage2(cfg, args, train_stream):
             mix_drv = jnp.roll(tgt, 1, axis=0)
             pred_mix = drv(gen_vars, avatar, mix_drv,
                            hp(towers.head_pose_params, mix_drv))
+            # stage-2 ground truth: the FFHQ-aligned 512px crop from the stored
+            # per-frame theta (reference target_img_ffhq, volumetric_avatar_two.py:686).
+            # Stores without thetas fall back to the plain target — fine for smoke
+            # runs, wrong for real data, hence the one-time warning.
+            if "target_img_ffhq" in hb:
+                tgt_ffhq = jnp.asarray(hb["target_img_ffhq"])
+                tgt_ffhq_mask = jnp.asarray(hb["target_mask_ffhq"])
+            else:
+                if not getattr(_train_stage2, "_warned_ffhq", False):
+                    print("WARNING: store has no ffhq_theta payload; using the "
+                          "plain target as stage-2 ground truth (smoke-run "
+                          "stand-in — convert real data with "
+                          "emoportraits_tpu.data.convert for FFHQ crops)")
+                    _train_stage2._warned_ffhq = True
+                tgt_ffhq = tgt
+                tgt_ffhq_mask = jnp.asarray(
+                    hb.get("target_mask", np.ones_like(tgt[..., :1])))
             batch = {"pred_target_img": pred, "pred_mixing_img": pred_mix,
-                     "target_img_ffhq": tgt,
-                     "target_mask_ffhq": jnp.asarray(
-                         hb.get("target_mask", np.ones_like(tgt[..., :1])))}
+                     "target_img_ffhq": tgt_ffhq,
+                     "target_mask_ffhq": tgt_ffhq_mask}
             rng, sk = jax.random.split(rng)
             state, metrics = step(state, batch, sk)
         print(f"stage2 epoch {epoch}: "
