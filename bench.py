@@ -34,7 +34,8 @@ import numpy as np
 # only freshly-compiled programs time honestly here.
 if os.environ.get("BENCH_CACHE"):
     try:
-        _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+        _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".xla_cache_tests")  # gitignored (bench blobs are huge)
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -97,9 +98,15 @@ def bench_train():
                                face_parsing=frozen.face_parsing,
                                matting=frozen.matting)
     state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
-    from emoportraits_tpu.train.step import tower_params_pytree
+    from emoportraits_tpu.train.step import (
+        cast_tower_params_bf16,
+        tower_params_pytree,
+    )
 
     tp = tower_params_pytree(towers, frozen)
+    if bf16 and not os.environ.get("BENCH_F32_TOWERS"):
+        # bf16 tower weights (BENCH_F32_TOWERS=1 opts back into fp32 evaluators)
+        tp = cast_tower_params_bf16(tp)
     step = jax.jit(make_train_step(
         cfg, gen_apply, lambda v, img: dis.apply(v, img), towers),
         donate_argnums=(0,))
@@ -304,7 +311,7 @@ def main():
     fps = batch / dt
     peak = PEAK_FLOPS["bf16" if dtype == jnp.bfloat16 else "f32"]
 
-    print(json.dumps({
+    record = {
         "metric": "drive_fps_512px_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -312,7 +319,25 @@ def main():
         "ms_per_frame": round(dt * 1e3 / batch, 2),
         "step_tflops": round(flops / 1e12, 3),
         "mfu": round(flops / dt / peak, 4),
-    }))
+    }
+    if "int8" in os.environ.get("BENCH_MODE", ""):
+        # quality bound for the quantized decoder: PSNR of the int8 drive output
+        # vs the same weights served in bf16 on the same fixed frames (quant error
+        # of the computation itself; real-checkpoint PSNR rides the weights-parity
+        # CLI once artifacts land — VERDICT r2 #3)
+        ref_model = VolumetricAvatar(dataclasses.replace(
+            cfg.model, decoder=dataclasses.replace(cfg.model.decoder,
+                                                   serve_int8=False)))
+        ref_fn = jax.jit(lambda v, st, d, t: ref_model.apply(
+            v, st, d, t, method=ref_model.drive)[0])
+        ref_vars = {k: v for k, v in variables.items() if k != "quant"}
+        ref_img = np.asarray(ref_fn(ref_vars, state, drv, theta), np.float32)
+        q_img = np.asarray(img, np.float32)
+        mse = float(np.mean((ref_img - q_img) ** 2))
+        record["int8_vs_bf16_psnr_db"] = round(
+            10.0 * np.log10(1.0 / max(mse, 1e-12)), 2)
+        record["mode"] = "fused_int8"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

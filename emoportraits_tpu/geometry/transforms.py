@@ -130,12 +130,24 @@ def align_keypoints(source_kp: jax.Array, pred_kp: jax.Array, nose: bool = False
 
 
 def polar_decompose(m: jax.Array):
-    """Batched polar decomposition m = U P with U orthogonal, P spsd, via SVD
-    (replaces per-sample scipy.linalg.polar, non_specific.py:174-183)."""
-    u, s, vt = jnp.linalg.svd(m)
-    rot = u @ vt
-    p = jnp.swapaxes(vt, -1, -2) @ (s[..., None] * vt)
-    return rot, p
+    """Batched polar decomposition m = U P with U orthogonal, P spsd
+    (replaces per-sample scipy.linalg.polar, non_specific.py:174-183).
+
+    Newton iteration U <- (U + U^-T)/2 instead of SVD: the f32 SVD's u/vt factors
+    wobble ~1e-3 on similarity matrices (repeated singular values make them
+    non-unique), which leaked visibly into the mixing pose; Newton converges
+    quadratically to the orthogonal factor at full f32 precision and is just
+    small-matrix matmuls/inverses (MXU-friendly). Inputs are head-pose thetas
+    (well-conditioned); a pre-scale by the RMS singular value keeps the
+    iteration in its convergence basin."""
+    scale = jnp.sqrt(
+        jnp.sum(m * m, axis=(-1, -2), keepdims=True) / m.shape[-1])
+    u = m / scale
+    for _ in range(9):
+        u = 0.5 * (u + jnp.swapaxes(jnp.linalg.inv(u), -1, -2))
+    p = jnp.swapaxes(u, -1, -2) @ m
+    p = 0.5 * (p + jnp.swapaxes(p, -1, -2))
+    return u, p
 
 
 def get_mixing_theta(source_theta: jax.Array, target_theta: jax.Array) -> jax.Array:

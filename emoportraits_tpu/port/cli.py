@@ -7,6 +7,7 @@
     python -m emoportraits_tpu.port.cli modnet /path/to/modnet_*.ckpt out_dir
     python -m emoportraits_tpu.port.cli gaze /path/to/vgg_16_2_forward_sum.pt out_dir
     python -m emoportraits_tpu.port.cli lpips /path/to/lpips_alex.pth out_dir
+    python -m emoportraits_tpu.port.cli verify --stage1 X.pth --frames dir/  # PSNR gate
 
 Loads the torch state_dict (CPU), ports it to flax variables, prints the
 unmatched-key manifest, and writes `<name>.npz` (flattened param tree; load with
@@ -55,6 +56,11 @@ def load_ported(path: str) -> Dict[str, Any]:
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] == "verify":
+        # weights-parity protocol: port -> drive -> PSNR gate (port/verify.py)
+        from .verify import main as verify_main
+
+        return verify_main(argv[1:])
     if len(argv) != 3:
         print(__doc__)
         return 2

@@ -57,6 +57,9 @@ def make_gen_apply(
     face_parsing: Optional[FrozenNet] = None,  # img01 -> (B, H, W, 19) logits
     matting: Optional[FrozenNet] = None,       # img01 -> (B, H, W, 1) alpha
     rtnet: Optional[FrozenNet] = None,  # (img01, keypoints) -> (B, H, W, 1) face prob
+    eval_mode: bool = False,  # torch-eval semantics: no dropout, SN uses the
+                              # STORED power-iteration vectors without updating
+                              # them (reference model.eval() G_forward)
 ):
     train_cfg = cfg.train
 
@@ -158,9 +161,8 @@ def make_gen_apply(
         # AdaptiveConv annealing alpha (step.py computes it from the iteration when
         # gen_adaptive_use_annealing; defaults to fully-on when absent)
         conv_alpha = aux.get("conv_alpha", 1.0)
-        out, muts = model.apply(
-            variables, src, src_mask, tgt, src_theta, tgt_theta,
-            mixing_theta=mixing_theta, deterministic=False,
+        apply_kwargs = dict(
+            mixing_theta=mixing_theta, deterministic=eval_mode,
             method=model.generate,
             conv_alpha=conv_alpha,
             match_neutral=train_cfg.match_neutral,
@@ -169,10 +171,19 @@ def make_gen_apply(
             # expression_embedder.py:163-169, so it can't cheat on texture cues)
             source_expr_img=batch.get("source_warp_aug"),
             target_expr_img=batch.get("target_warp_aug"),
-            mutable=["sn_state"], rngs={"dropout": rng},
         )
+        if eval_mode:
+            out = model.apply(variables, src, src_mask, tgt, src_theta, tgt_theta,
+                              **apply_kwargs)
+            muts = {}
+        else:
+            out, muts = model.apply(
+                variables, src, src_mask, tgt, src_theta, tgt_theta,
+                mutable=["sn_state"], rngs={"dropout": rng}, **apply_kwargs)
         out["refined_source_mask"] = src_mask
         out["refined_target_mask"] = tgt_mask
+        if mixing_theta is not None:
+            out["mixing_theta"] = mixing_theta
         if new_pool is not None:
             out["thetas_pool"] = jax.lax.stop_gradient(new_pool)
             out["thetas_pool_count"] = new_pool_count

@@ -33,8 +33,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 if "EMOPORTRAITS_NO_XLA_CACHE" not in os.environ:
+    # tests use their own (gitignored) cache dir: the committed .xla_cache holds
+    # ONLY the dryrun entries, so test runs never litter `git status` with
+    # machine-generated blobs (round-2 ADVICE)
     _cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          ".xla_cache")
+                          ".xla_cache_tests")
     try:
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)

@@ -28,6 +28,23 @@ def install_stubs() -> None:
             m = types.ModuleType(name)
             m.__path__ = []
             sys.modules[name] = m
+    # functional torchvision backbones (exact module layout/key names) so the
+    # reference embedders construct and their state_dicts port — tv_stub.py
+    import tv_stub
+
+    tvm = sys.modules["torchvision.models"]
+    for fn in ("resnet18", "resnet34", "resnet50"):
+        if not hasattr(tvm, fn):
+            setattr(tvm, fn, getattr(tv_stub, fn))
+    tvf = sys.modules["torchvision.transforms.functional"]
+    if not hasattr(tvf, "rgb_to_grayscale"):
+        def rgb_to_grayscale(img, num_output_channels=1):
+            import torch
+            g = (0.299 * img[..., 0:1, :, :] + 0.587 * img[..., 1:2, :, :]
+                 + 0.114 * img[..., 2:3, :, :])
+            return torch.cat([g] * num_output_channels, dim=-3)
+
+        tvf.rgb_to_grayscale = rgb_to_grayscale
     if "repos" not in sys.modules:
         repos = types.ModuleType("repos")
         repos.__path__ = []
@@ -41,6 +58,70 @@ def install_stubs() -> None:
         sys.modules["repos.resnet"] = rres
     if REF not in sys.path:
         sys.path.insert(0, REF)
+
+
+def install_full_model_stubs() -> None:
+    """Additional import stubs needed to build the WHOLE reference stage-1 Model
+    (models/stage_1/volumetric_avatar/va.py) as an oracle: its import chain pulls
+    ibug, sklearn, pandas, cv2, matplotlib, skimage, the MODNet repo, and the
+    `losses` package — none used by the eval-mode G_forward dataflow under our
+    test flags, but all imported at module scope."""
+    install_stubs()
+
+    def _mod(name: str, **attrs):
+        if name in sys.modules:
+            m = sys.modules[name]
+        else:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+        for k, v in attrs.items():
+            if not hasattr(m, k):
+                setattr(m, k, v)
+        return m
+
+    class _Dummy:
+        def __init__(self, *a, **kw):
+            pass
+
+    def _fn(*a, **kw):
+        raise RuntimeError("stubbed function called in oracle")
+
+    # the reference sometimes imports itself as the `EmoPortraits` package
+    # (va_arguments.py:5) — alias the checkout under that name
+    if "EmoPortraits" not in sys.modules:
+        pkg = types.ModuleType("EmoPortraits")
+        pkg.__path__ = [REF]
+        sys.modules["EmoPortraits"] = pkg
+
+    # transforms instantiated at import time (utils/non_specific.py:14)
+    _mod("torchvision.transforms", ToPILImage=_Dummy, ToTensor=_Dummy,
+         ColorJitter=_Dummy, RandomGrayscale=_Dummy, Grayscale=_Dummy,
+         Resize=_Dummy, Normalize=_Dummy, RandomApply=_Dummy, Compose=_Dummy)
+
+    _mod("ibug")
+    _mod("ibug.face_detection", RetinaFacePredictor=_Dummy)
+    _mod("ibug.face_parsing", FaceParser=_Dummy)
+    _mod("ibug.face_parsing.utils", label_colormap=_fn)
+    _mod("ibug.roi_tanh_warping", roi_tanh_polar_restore=_fn,
+         roi_tanh_polar_warp=_fn)
+    _mod("pandas", DataFrame=_Dummy)
+    _mod("sklearn")
+    _mod("sklearn.preprocessing", StandardScaler=_Dummy)
+    _mod("sklearn.decomposition", PCA=_Dummy)
+    _mod("cv2", cvtColor=_fn, resize=_fn)
+    _mod("matplotlib", cm=types.SimpleNamespace())
+    _mod("matplotlib.cm")
+    _mod("skimage", measure=types.SimpleNamespace(label=_fn))
+    _mod("skimage.measure", label=_fn)
+    _mod("repos.MODNet")
+    _mod("repos.MODNet.src")
+    _mod("repos.MODNet.src.models")
+    _mod("repos.MODNet.src.models.modnet", MODNet=_Dummy)
+    # the reference `losses` package imports pip-only deps (lpips, pytorch_msssim);
+    # eval-mode G_forward never touches it, so an empty namespace suffices
+    _mod("losses", PerceptualLoss=_Dummy, AdversarialLoss=_Dummy,
+         FeatureMatchingLoss=_Dummy, GazeLoss=_Dummy, PSNR=_Dummy, LPIPS=_Dummy)
 
 
 # ------------------------------------------------- test-size reference configurations
