@@ -104,8 +104,9 @@ def bench_train():
     )
 
     tp = tower_params_pytree(towers, frozen)
-    if bf16 and not os.environ.get("BENCH_F32_TOWERS"):
-        # bf16 tower weights (BENCH_F32_TOWERS=1 opts back into fp32 evaluators)
+    if os.environ.get("BENCH_BF16_TOWERS"):
+        # opt-in: measured no speedup on v5e (the step is not tower-matmul-bound,
+        # 447.8 vs 445.8 ms/iter) — kept as a memory knob
         tp = cast_tower_params_bf16(tp)
     step = jax.jit(make_train_step(
         cfg, gen_apply, lambda v, img: dis.apply(v, img), towers),

@@ -355,6 +355,9 @@ class TrainConfig:
     latest_checkpoint_freq: int = 1
     seed: int = 0
     bf16_activations: bool = False  # cast batch inputs to bf16 (fp32 params)
+    # frozen loss-tower weights in bf16 (head-pose stays fp32 — its thetas feed
+    # geometry); the towers are a large share of step FLOPs and tolerate bf16
+    bf16_towers: bool = False
     remat: bool = True
     # EMA of generator params for serving (0 = off; utils/ema.py, updated in-step)
     ema_decay: float = 0.0

@@ -126,9 +126,11 @@ class Trainer:
             self.state = replicate_state(self.state, self.mesh)
         # frozen-tower weights ride as a replicated ARGUMENT (not HLO constants):
         # the 512px prod program with inlined towers exceeds compile-payload limits
-        from .step import tower_params_pytree
-        self._tower_params = replicate_state(
-            tower_params_pytree(towers, self.frozen_nets), self.mesh)
+        from .step import cast_tower_params_bf16, tower_params_pytree
+        tp = tower_params_pytree(towers, self.frozen_nets)
+        if cfg.train.bf16_towers:
+            tp = cast_tower_params_bf16(tp)
+        self._tower_params = replicate_state(tp, self.mesh)
 
         self.logger = MetricsLogger(log_dir, cfg.train.logging_freq,
                                     experiment_name=cfg.experiment_name)

@@ -610,3 +610,67 @@ def test_training_dynamics_losses_decrease():
     assert last < 0.98 * first, (
         f"too-weak training signal: {first:.4f} -> {last:.4f}\n"
         f"curve: {[round(h, 3) for h in history]}")
+
+
+def test_bf16_towers_metric_equivalence():
+    """bf16 frozen-tower weights (train.bf16_towers / bench default) keep every
+    prod loss finite and within a few percent of the fp32-tower values — the
+    correctness basis for serving the evaluators in bf16 on the MXU."""
+    import numpy as np
+
+    from emoportraits_tpu.config import tiny_config
+    from emoportraits_tpu.models.discriminator import MultiScaleDiscriminator
+    from emoportraits_tpu.models.stage1 import VolumetricAvatar
+    from emoportraits_tpu.train.forward import make_gen_apply
+    from emoportraits_tpu.train.state import TrainState
+    from emoportraits_tpu.train.step import (
+        cast_tower_params_bf16,
+        make_train_step,
+        tower_params_pytree,
+    )
+    from emoportraits_tpu.train.towers import build_loss_towers
+
+    cfg = tiny_config()
+    key = jax.random.PRNGKey(0)
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    b, s = 2, cfg.train.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_mask": jnp.ones((b, s, s, 1), jnp.float32),
+        "target_keypoints": jnp.asarray(
+            rng.uniform(-0.5, 0.5, (b, 68, 2)).astype(np.float32)),
+    }
+    theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    gen_vars = model.init(key, batch["source_img"], batch["source_mask"],
+                          batch["target_img"], theta, theta)
+    dis_vars = dis.init(key, batch["target_img"])
+    towers, frozen = build_loss_towers(cfg, key, tiny=True)
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
+                               towers.head_pose_params,
+                               face_parsing=frozen.face_parsing,
+                               matting=frozen.matting)
+    step = jax.jit(make_train_step(cfg, gen_apply,
+                                   lambda v, img: dis.apply(v, img), towers))
+    tp = tower_params_pytree(towers, frozen)
+    tp_bf16 = cast_tower_params_bf16(tp)
+    # head-pose must stay fp32
+    assert jax.tree.leaves(tp_bf16["head_pose_params"])[0].dtype == jnp.float32
+    assert any(leaf.dtype == jnp.bfloat16
+               for leaf in jax.tree.leaves(tp_bf16["vgg19_params"]))
+
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    _, m32 = step(state, batch, jax.random.PRNGKey(1), tp)
+    _, m16 = step(state, batch, jax.random.PRNGKey(1), tp_bf16)
+    for k in m32:
+        a, bb = float(m32[k]), float(m16[k])
+        assert np.isfinite(bb), k
+        denom = max(abs(a), 1e-3)
+        # the contrastive family exponentiates cosine similarities of embeds of
+        # GENERATED images seen through the (bf16) matting mask — with tiny random
+        # towers that amplifies rounding; reconstruction/feature losses stay tight
+        tol = 0.25 if "contrastive" in k else 0.08
+        assert abs(a - bb) / denom < tol, (k, a, bb)
