@@ -179,6 +179,62 @@ def get_mixing_theta(source_theta: jax.Array, target_theta: jax.Array) -> jax.Ar
     return mix[:, :3]
 
 
+def fit_similarity_transform(keypoints: jax.Array, canonical: jax.Array,
+                             sep_scales: bool = False, iters: int = 10,
+                             damping: float = 1e-6) -> jax.Array:
+    """Iterative head-theta fit from landmarks (reference estimate_theta,
+    networks/volumetric_avatar/expression_embedder.py:254-300: scale/euler/translation
+    params driven by 5 host-side torch-LBFGS steps per batch).
+
+    TPU-native: batched Levenberg–Marquardt with a FIXED iteration count — static
+    shapes, a (7|9)-parameter least-squares per sample solved entirely on device
+    (jacfwd over the tiny parameter vector + a damped 9x9 normal-equation solve),
+    no host optimizer loop. The 7-param problem (scale, yaw/pitch/roll, t) is what
+    `procrustes` solves closed-form; the 9-param `sep_scales` variant
+    (lpe_head_transform_sep_scales: per-axis scale_x/y/z) is NOT representable by
+    Umeyama and is the reason the iterative path exists.
+
+    keypoints: (B, N, 3); canonical: (N, 3) template (what the reference stores as
+    `aligned_keypoints`). Returns (B, 4, 4) theta mapping keypoints -> canonical.
+    """
+    b, n = keypoints.shape[0], keypoints.shape[1]
+    kp_h = jnp.concatenate(
+        [keypoints, jnp.ones((b, n, 1), keypoints.dtype)], axis=-1)
+    canon = jnp.broadcast_to(canonical[None].astype(keypoints.dtype),
+                             (b, n, 3))
+    nscale = 3 if sep_scales else 1
+    p0 = jnp.concatenate(
+        [jnp.ones((b, nscale), keypoints.dtype),
+         jnp.zeros((b, 6), keypoints.dtype)], axis=-1)
+
+    def residual_one(p, kph_i, canon_i):
+        # single-sample residual; batch dim re-added for get_transform_matrix
+        scale = p[None, :nscale]
+        rot = p[None, nscale:nscale + 3]
+        trans = p[None, nscale + 3:]
+        theta = get_transform_matrix(scale, rot, trans)[0, :3]  # (3, 4)
+        return (kph_i @ theta.T - canon_i).reshape(-1)  # (3N,)
+
+    jac_one = jax.jacfwd(residual_one)
+
+    def lm_step(p, _):
+        r = jax.vmap(residual_one)(p, kp_h, canon)          # (B, 3N)
+        J = jax.vmap(jac_one)(p, kp_h, canon)               # (B, 3N, P)
+        JtJ = jnp.einsum("bri,brj->bij", J, J)
+        g = jnp.einsum("bri,br->bi", J, r)
+        eye = jnp.eye(JtJ.shape[-1], dtype=JtJ.dtype)
+        # damping scaled by the diagonal magnitude keeps the solve stable when a
+        # parameter direction is momentarily flat (euler clamp boundary)
+        lam = damping * jnp.trace(JtJ, axis1=-2, axis2=-1)[:, None, None]
+        step = jnp.linalg.solve(JtJ + lam * eye, g[..., None])[..., 0]
+        return p - step, None
+
+    p, _ = jax.lax.scan(lm_step, p0, None, length=iters)
+    scale, rot, trans = (p[:, :nscale], p[:, nscale:nscale + 3],
+                         p[:, nscale + 3:])
+    return get_transform_matrix(scale, rot, trans)
+
+
 def apply_theta_to_grid(grid_flat: jax.Array, theta3x4: jax.Array, out_shape) -> jax.Array:
     """Warp an identity grid by an affine theta: grid (1 or B, P, 4 homogeneous) @ theta^T
     (reference va.py:380-431 rotation-warp construction). Returns (B, *out_shape, 3)."""

@@ -58,17 +58,30 @@ def align_face_crop(img: jax.Array, theta: jax.Array, grid_size: int) -> jax.Arr
 
 
 def estimate_theta_from_keypoints(keypoints: jax.Array,
-                                  canonical: jax.Array) -> jax.Array:
-    """Closed-form head theta from 68 3D landmarks vs the canonical template.
+                                  canonical: jax.Array,
+                                  method: str = "umeyama",
+                                  sep_scales: bool = False) -> jax.Array:
+    """Head theta from 68 3D landmarks vs the canonical template.
 
-    Replaces the reference's 5-step LBFGS inner optimization
-    (expression_embedder.py:255-300, torch.optim.LBFGS fitting scale/yaw/pitch/roll/t
-    to `data/aligned_keypoints_3d.npy`) with a batched Umeyama solve — same similarity
-    family, exact minimizer, jit-safe (SURVEY.md §3.4).
+    The reference runs a 5-step host-side torch-LBFGS inner optimization per batch
+    (expression_embedder.py:255-300, fitting scale/yaw/pitch/roll/t to
+    `data/aligned_keypoints_3d.npy`). Two jit-safe paths here:
+
+      * method="umeyama" (default): batched closed-form Umeyama — the exact
+        minimizer of the same 7-param similarity family (SURVEY.md §3.4).
+      * method="fit": batched on-device Levenberg–Marquardt with a fixed iteration
+        count (geometry.transforms.fit_similarity_transform) — required for the
+        reference's `lpe_head_transform_sep_scales` 9-param variant (per-axis
+        scales), which no closed form covers; sep_scales=True selects it.
 
     keypoints: (B, 68, 3) in [-1, 1]; canonical: (68, 3) template. Returns (B, 4, 4)
     theta mapping keypoints -> canonical frame.
     """
+    if method == "fit" or sep_scales:
+        from ..geometry.transforms import fit_similarity_transform
+
+        return fit_similarity_transform(keypoints, canonical,
+                                        sep_scales=sep_scales)
     from ..geometry.transforms import procrustes
 
     b = keypoints.shape[0]
