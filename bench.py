@@ -71,6 +71,15 @@ def bench_train():
     if bf16:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, bf16_activations=True))
+    if os.environ.get("BENCH_REMAT"):
+        # rematerialize encoder/U-Net/decoder: the per-chip batch-scaling knob
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, remat=True,
+            remat_policy=os.environ.get("BENCH_REMAT_POLICY", "")))
+    if os.environ.get("BENCH_REMAT_TOWERS"):
+        # jax.checkpoint around the frozen loss towers (train/step.py remat_towers)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, remat_towers=True))
     b, s = int(os.environ.get("BENCH_BATCH", "1")), cfg.train.image_size
     key = jax.random.PRNGKey(0)
     model = VolumetricAvatar(cfg.model)
@@ -134,6 +143,9 @@ def bench_train():
         "unit": "it/s",
         "vs_baseline": round((1.0 / dt) / 1.0, 3),
         "ms_per_iter": round(dt * 1e3, 1),
+        "samples_per_s": round(b / dt, 3),
+        "batch": b,
+        "remat": bool(os.environ.get("BENCH_REMAT")),
         "step_tflops": round(flops / 1e12, 2),
         "mfu": round(flops / dt / peak, 4),
     }))

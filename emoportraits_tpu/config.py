@@ -358,7 +358,10 @@ class TrainConfig:
     # frozen loss-tower weights in bf16 (head-pose stays fp32 — its thetas feed
     # geometry); the towers are a large share of step FLOPs and tolerate bf16
     bf16_towers: bool = False
-    remat: bool = True
+    # jax.checkpoint around every frozen loss-tower forward: recompute tower
+    # activations in the backward instead of storing them (train/step.py
+    # remat_towers). Pairs with ModelConfig.remat for large-batch 512px training.
+    remat_towers: bool = False
     # EMA of generator params for serving (0 = off; utils/ema.py, updated in-step)
     ema_decay: float = 0.0
 
@@ -409,9 +412,13 @@ class ModelConfig:
     # Compose back-to-back warp fields into one volume gather on the inference paths
     # (halves the hot-op bandwidth; off = exact reference semantics of two resamplings).
     fuse_warps: bool = False
-    # Rematerialize the heavy subnets in the backward pass (jax.checkpoint) — trades
-    # FLOPs for activation memory during GAN training at 512px.
+    # Rematerialize the heavy subnets (local encoder, 3D U-Net, decoder) in the
+    # backward pass (flax nn.remat) — trades FLOPs for activation
+    # memory during GAN training at 512px. remat_policy "" recomputes everything;
+    # 'dots' saves conv/matmul outputs and recomputes only the elementwise chain
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable).
     remat: bool = False
+    remat_policy: str = ""
 
 
 @dataclass(frozen=True)

@@ -54,10 +54,25 @@ class VolumetricAvatar(nn.Module):
         m = self.cfg
         sn = dict(use_ws=m.use_ws, use_sn=m.use_sn)
         # optional rematerialization of the memory-heavy subnets (activation memory at
-        # 512px training; SURVEY.md §5 long-context analog: bf16 + remat, not sharding)
-        LocalEncoder_ = nn.remat(LocalEncoder) if m.remat else LocalEncoder
-        Unet3D_ = nn.remat(Unet3D) if m.remat else Unet3D
-        Decoder_ = nn.remat(Decoder, static_argnums=(3,)) if m.remat else Decoder
+        # 512px training; SURVEY.md §5 long-context analog: bf16 + remat, not sharding).
+        # prevent_cse stays at its default True: under plain jit XLA's CSE merges the
+        # rematerialized forward back with the original, silently undoing the remat —
+        # measured on v5e: with prevent_cse=False the batch-2 step's HBM requirement was
+        # byte-identical (26.94G) with and without remat. remat_policy='dots' keeps
+        # conv/matmul outputs and recomputes only the cheap elementwise chain —
+        # a middle point between full recompute and no remat.
+        if m.remat:
+            kw = {}
+            if m.remat_policy == "dots":
+                kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            LocalEncoder_ = nn.remat(LocalEncoder, **kw)
+            Unet3D_ = nn.remat(Unet3D, **kw)
+            # static_argnums counts __call__ args INCLUDING self (flax shifts it
+            # internally); the flag must be passed POSITIONALLY at call sites —
+            # jax.checkpoint only statics positional args, keywords stay traced
+            Decoder_ = nn.remat(Decoder, static_argnums=(3,), **kw)
+        else:
+            LocalEncoder_, Unet3D_, Decoder_ = LocalEncoder, Unet3D, Decoder
         self.local_encoder_nw = LocalEncoder_(m.local_encoder, m.volume, **sn)
         self.idt_embedder_nw = IdtEmbed(m.idt_embedder, **sn)
         self.expression_embedder_nw = ExpressionEmbed(m.expression_embedder, **sn)
@@ -72,10 +87,10 @@ class VolumetricAvatar(nn.Module):
         self.uv_generator_nw = WarpGenerator(m.warp_generator, **sn)
         if m.source_volume_num_blocks > 0:
             self.volume_source_nw = VPNResBlocks(m.vpn_source, **sn)
-        self.volume_process_nw = Unet3D(m.unet3d, **sn)
+        self.volume_process_nw = Unet3D_(m.unet3d, **sn)
         if m.pred_volume_num_blocks > 0:
             self.volume_pred_nw = VPNResBlocks(m.vpn_source, **sn)
-        self.decoder_nw = Decoder(m.decoder, **sn)
+        self.decoder_nw = Decoder_(m.decoder, **sn)
         if m.volume_rendering:
             # EG3D-role importance renderer replacing the C-major collapse on the
             # decoder input (reference va.py:157-158 construction, :586-589 use)
@@ -239,8 +254,7 @@ class VolumetricAvatar(nn.Module):
             bg = self.local_encoder_back_nw(source_img * (1.0 - source_mask))
             bg = self.background_process_nw(bg)
             collapsed = self.backgroung_adding_nw(collapsed, bg)
-        img, img_f = self.decoder_nw(collapsed, target_embed,
-                                     stage_two=stage_two)
+        img, img_f = self.decoder_nw(collapsed, target_embed, stage_two)
         img = sp_image(img)
         out["pred_target_img"] = img
         out["pred_feat"] = img_f
@@ -249,7 +263,8 @@ class VolumetricAvatar(nn.Module):
             # decode the UNWARPED canonical volume -> neutral face; its central-crop
             # expression vector is pulled to zero by the neutral losses
             # (reference match_neutral branch, va.py:595-614).
-            neutral_img, _ = self.decoder_nw(self._to_2d(canonical), target_embed)
+            neutral_img, _ = self.decoder_nw(self._to_2d(canonical), target_embed,
+                                             False)
             out["pred_neutral_img"] = neutral_img
             s4 = neutral_img.shape[1] // 4
             out["pred_neutral_img_aligned"] = neutral_img[:, s4:3 * s4, s4:3 * s4]
@@ -272,7 +287,7 @@ class VolumetricAvatar(nn.Module):
             mix_aligned = self._grid_sample(
                 self._grid_sample(canonical, mix_uv_warp), mix_rot_warp)
             mix_img, _ = self.decoder_nw(self._to_2d(mix_aligned, out, "pred_mixing"),
-                                         mix_embed)
+                                         mix_embed, False)
             out["pred_mixing_img"] = mix_img
             out["rolled_pose_embed"] = rolled_embed
 
@@ -300,7 +315,7 @@ class VolumetricAvatar(nn.Module):
         aligned = self._grid_sample(self._grid_sample(canonical, uv_warp), rot_warp)
         if self.cfg.pred_volume_num_blocks > 0:
             aligned = self.volume_pred_nw(aligned)
-        img, _ = self.decoder_nw(self._to_2d(aligned), embed)
+        img, _ = self.decoder_nw(self._to_2d(aligned), embed, False)
         return img
 
     def canonical_from_target(self, target_img: jax.Array, target_mask: jax.Array,
@@ -372,8 +387,7 @@ class VolumetricAvatar(nn.Module):
         aligned = sp_volume(aligned)
         if self.cfg.pred_volume_num_blocks > 0:
             aligned = self.volume_pred_nw(aligned)
-        img, img_f = self.decoder_nw(self._to_2d(aligned), embed,
-                                     stage_two=stage_two)
+        img, img_f = self.decoder_nw(self._to_2d(aligned), embed, stage_two)
         return (sp_image(img), img_f) if stage_two else (sp_image(img), None)
 
     def __call__(self, source_img, source_mask, target_img, source_theta, target_theta):

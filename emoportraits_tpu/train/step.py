@@ -87,6 +87,25 @@ TOWER_PARAM_FIELDS = ("vgg19_params", "vggface_params", "head_pose_params",
                       "face_pars_feats_params")
 
 
+def remat_towers(towers: "LossTowers") -> "LossTowers":
+    """Wrap every tower apply fn in jax.checkpoint: the backward pass then
+    recomputes tower activations instead of storing them (only the tower inputs
+    and tapped outputs are saved). The towers are frozen — no weight grads — so
+    the only backward need is d(loss)/d(pred) through the feature taps, and the
+    recompute costs one extra tower forward. Measured v5e 512px batch 2 with the
+    generator subnets already rematted: HBM 16.10G -> fits under 15.75G (the
+    VGG19 pyramid + per-eye VGG16s + parser-trunk taps are the residual)."""
+    wrapped = {}
+    for f in LossTowers._fields:
+        v = getattr(towers, f)
+        # head_pose_apply is exempt: its `return_srt` Python-bool flag selects the
+        # output structure and must stay untraced (jax.checkpoint traces every arg)
+        if callable(v) and f != "head_pose_apply":
+            v = jax.checkpoint(v)
+        wrapped[f] = v
+    return LossTowers(**wrapped)
+
+
 def tower_params_pytree(towers: "LossTowers", frozen_nets=None) -> Dict[str, Any]:
     """The frozen-tower parameter pytree to pass as train_step's 4th argument.
     `frozen_nets` (train.towers.FrozenNets) contributes the matting params."""
@@ -529,6 +548,8 @@ def make_train_step(
         params, sn = params_and_sn
         return dis_apply_raw({"params": params, "sn_state": sn}, img)
 
+    if cfg.train.remat_towers:
+        towers = remat_towers(towers)
     fns_only = towers._replace(**{f: None for f in TOWER_PARAM_FIELDS})
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,

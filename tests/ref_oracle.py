@@ -10,11 +10,23 @@ copied, it is imported and executed as a black-box oracle.
 """
 from __future__ import annotations
 
+import importlib.machinery
 import os
 import sys
 import types
 
 REF = "/root/reference"
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub package module with a real ModuleSpec: `importlib.util.find_spec`
+    raises ValueError on sys.modules entries whose __spec__ is None, which made
+    later library imports (torch/torchvision probing optional deps) fail in an
+    order-dependent way across the test suite."""
+    m = types.ModuleType(name)
+    m.__path__ = []
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None, is_package=True)
+    return m
 
 
 def reference_available() -> bool:
@@ -25,9 +37,7 @@ def install_stubs() -> None:
     for name in ("torchvision", "torchvision.models", "torchvision.transforms",
                  "torchvision.transforms.functional", "torchvision.models.resnet"):
         if name not in sys.modules:
-            m = types.ModuleType(name)
-            m.__path__ = []
-            sys.modules[name] = m
+            sys.modules[name] = _stub_module(name)
     # functional torchvision backbones (exact module layout/key names) so the
     # reference embedders construct and their state_dicts port — tv_stub.py
     import tv_stub
@@ -46,9 +56,8 @@ def install_stubs() -> None:
 
         tvf.rgb_to_grayscale = rgb_to_grayscale
     if "repos" not in sys.modules:
-        repos = types.ModuleType("repos")
-        repos.__path__ = []
-        rres = types.ModuleType("repos.resnet")
+        repos = _stub_module("repos")
+        rres = _stub_module("repos.resnet")
 
         class ResNet18:  # placeholder; only referenced at import time
             pass
@@ -72,8 +81,7 @@ def install_full_model_stubs() -> None:
         if name in sys.modules:
             m = sys.modules[name]
         else:
-            m = types.ModuleType(name)
-            m.__path__ = []
+            m = _stub_module(name)
             sys.modules[name] = m
         for k, v in attrs.items():
             if not hasattr(m, k):
@@ -90,7 +98,7 @@ def install_full_model_stubs() -> None:
     # the reference sometimes imports itself as the `EmoPortraits` package
     # (va_arguments.py:5) — alias the checkout under that name
     if "EmoPortraits" not in sys.modules:
-        pkg = types.ModuleType("EmoPortraits")
+        pkg = _stub_module("EmoPortraits")
         pkg.__path__ = [REF]
         sys.modules["EmoPortraits"] = pkg
 

@@ -145,3 +145,40 @@ def test_encode_drive_matches_generate(avatar_and_params):
     img, _ = model.apply(variables, state, tgt, theta, method=model.drive)
     np.testing.assert_allclose(
         np.asarray(img), np.asarray(out["pred_target_img"]), atol=1e-5)
+
+
+@pytest.mark.slow  # three full-graph grad compiles
+def test_remat_modes_are_semantics_preserving():
+    """ModelConfig.remat / remat_policy rematerialize the local encoder, 3D U-Net and
+    decoder — values AND gradients must be identical to the non-remat graph (remat only
+    changes what the backward pass stores vs recomputes)."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    b, s = 1, CFG.train.image_size
+    src = jnp.asarray(rng.random((b, s, s, 3), np.float32))
+    msk = jnp.ones((b, s, s, 1), jnp.float32)
+    tgt = jnp.asarray(rng.random((b, s, s, 3), np.float32))
+    th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+
+    def run(mcfg):
+        model = VolumetricAvatar(mcfg)
+        variables = model.init(jax.random.PRNGKey(0), src, msk, tgt, th, th)
+
+        def loss(params):
+            out, _ = model.apply(
+                {**variables, "params": params}, src, msk, tgt, th, th,
+                mutable=["sn_state"])
+            return jnp.mean(out["pred_target_img"] ** 2)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(variables["params"])
+        gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                             for g in jax.tree.leaves(grads)))
+        return float(val), float(gnorm)
+
+    base = run(CFG.model)
+    full = run(dataclasses.replace(CFG.model, remat=True))
+    dots = run(dataclasses.replace(CFG.model, remat=True, remat_policy="dots"))
+    for name, got in (("full", full), ("dots", dots)):
+        np.testing.assert_allclose(got[0], base[0], rtol=1e-5, err_msg=name)
+        np.testing.assert_allclose(got[1], base[1], rtol=1e-4, err_msg=name)

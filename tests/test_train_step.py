@@ -86,3 +86,39 @@ def test_two_steps_stable(setup):
     s2, m2 = jitted(s1, batch, jax.random.PRNGKey(2))
     assert int(s2.step) == 2
     assert np.isfinite(float(m2["gen/total"]))
+
+
+def test_remat_towers_metric_equivalent(setup):
+    """TrainConfig.remat_towers wraps the frozen loss towers in jax.checkpoint —
+    recompute vs store is a memory knob only: every metric of one full step must
+    match the non-remat step to fp tolerance (train/step.py remat_towers)."""
+    import dataclasses
+
+    cfg, state, step, batch = setup
+    _, base = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+
+    cfg_r = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat_towers=True))
+    # rebuild the step fn with the same towers/applies (reuse the module-scoped
+    # setup's closures via a fresh make_train_step at the remat config)
+    model = VolumetricAvatar(cfg_r.model)
+    hp = HeadPoseRegressor()
+    tower = VGGFeatures(stages=VGG19_STAGES)
+    s = batch["source_img"].shape[1]
+    hp_vars = hp.init(KEY, batch["source_img"])
+    towers = LossTowers(
+        vgg19_apply=tower.apply,
+        vgg19_params=tower.init(KEY, jnp.zeros((1, s, s, 3))),
+        head_pose_apply=lambda p, x, return_srt=False: hp.apply(p, x, return_srt),
+        head_pose_params=hp_vars,
+    )
+    gen_apply = make_gen_apply(cfg_r, model, towers.head_pose_apply, hp_vars)
+    dis = MultiScaleDiscriminator(cfg_r.model.discriminator)
+    step_r = make_train_step(cfg_r, gen_apply,
+                             lambda variables, img: dis.apply(variables, img), towers)
+    _, got = jax.jit(step_r)(state, batch, jax.random.PRNGKey(1))
+
+    assert set(got) == set(base)
+    for k in sorted(base):
+        np.testing.assert_allclose(float(got[k]), float(base[k]),
+                                   rtol=2e-4, atol=1e-6, err_msg=k)

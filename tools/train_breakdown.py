@@ -139,17 +139,25 @@ def main():
         return ms
 
     fake = batch["target_img"]
+    # BENCH_PHASES: comma-list subset (relay compiles can SIGSEGV transiently;
+    # rerun just the missing phases instead of recompiling everything)
+    want = os.environ.get("BENCH_PHASES", "gen_fwd,gen_loss_fwd,gen_grad,dis_step")
+    want = set(want.split(","))
     results = {}
-    results["gen_fwd"] = time_it("gen_fwd", gen_fwd, gen_params, gen_sn, batch,
-                                 rng_key, tp)
-    results["gen_loss_fwd"] = time_it(
-        "gen_loss_fwd", gen_loss, gen_params, gen_sn, batch, rng_key, tp,
-        dis_params, dis_sn, prev_targets)
-    results["gen_grad"] = time_it(
-        "gen_grad", gen_grad, gen_params, gen_sn, batch, rng_key, tp,
-        dis_params, dis_sn, prev_targets)
-    results["dis_step"] = time_it("dis_step", dis_step, dis_params, dis_sn,
-                                  batch["target_img"], fake)
+    if "gen_fwd" in want:
+        results["gen_fwd"] = time_it("gen_fwd", gen_fwd, gen_params, gen_sn,
+                                     batch, rng_key, tp)
+    if "gen_loss_fwd" in want:
+        results["gen_loss_fwd"] = time_it(
+            "gen_loss_fwd", gen_loss, gen_params, gen_sn, batch, rng_key, tp,
+            dis_params, dis_sn, prev_targets)
+    if "gen_grad" in want:
+        results["gen_grad"] = time_it(
+            "gen_grad", gen_grad, gen_params, gen_sn, batch, rng_key, tp,
+            dis_params, dis_sn, prev_targets)
+    if "dis_step" in want:
+        results["dis_step"] = time_it("dis_step", dis_step, dis_params, dis_sn,
+                                      batch["target_img"], fake)
     print(json.dumps({"breakdown_ms": {k: round(v, 1)
                                        for k, v in results.items()},
                       "towers": "f32" if os.environ.get("BENCH_F32_TOWERS")
