@@ -46,6 +46,29 @@ if os.environ.get("BENCH_CACHE"):
 PEAK_FLOPS = {"bf16": 197e12, "f32": 98.5e12}
 
 
+def fast_random_variables(init_fn, key, *args, **kwargs):
+    """Materialize an init-shaped variable tree WITHOUT compiling the init program.
+
+    The driver's round-3 bench wall-clock burned 2m05s in a CPU `jit_init`
+    slow-compile before the TPU measurement even started (BENCH_r03.json tail).
+    Throughput is data-independent on TPU (no denormal penalties; identical HLO
+    regardless of values), so the bench fills each leaf with seeded N(0, 0.02)
+    instead of running the real init: `jax.eval_shape` traces shapes only — no
+    XLA compile, milliseconds instead of minutes."""
+    shapes = jax.eval_shape(init_fn, key, *args, **kwargs)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    rng = np.random.default_rng(0)
+
+    def fill(sd):
+        if jnp.issubdtype(sd.dtype, jnp.floating):
+            return jnp.asarray(
+                rng.standard_normal(sd.shape).astype(np.float32) * 0.02
+            ).astype(sd.dtype)
+        return jnp.zeros(sd.shape, sd.dtype)
+
+    return jax.tree_util.tree_unflatten(treedef, [fill(l) for l in leaves])
+
+
 def _cost_flops(compiled) -> float:
     try:
         ca = compiled.cost_analysis()
@@ -97,10 +120,10 @@ def bench_train():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
-        gen_vars = jax.jit(model.init)(key, batch["source_img"],
-                                       batch["source_mask"], batch["target_img"],
-                                       theta, theta)
-        dis_vars = jax.jit(dis.init)(key, batch["target_img"])
+        gen_vars = fast_random_variables(
+            model.init, key, batch["source_img"], batch["source_mask"],
+            batch["target_img"], theta, theta)
+        dis_vars = fast_random_variables(dis.init, key, batch["target_img"])
         towers, frozen = build_loss_towers(cfg, key)
     gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply,
                                towers.head_pose_params,
@@ -167,7 +190,8 @@ def bench_stage2():
     pred = jnp.asarray(rng.random((b, s, s, 3), np.float32), dt)
     mask = jnp.ones((b, s, s, 1), dt)
     with jax.default_device(jax.devices("cpu")[0]):
-        variables = jax.jit(enh.init)(jax.random.PRNGKey(0), pred, mask)
+        variables = fast_random_variables(enh.init, jax.random.PRNGKey(0),
+                                          pred, mask)
     if bf16:
         variables = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
                                  if x.dtype == jnp.float32 else x, variables)
@@ -219,8 +243,8 @@ def bench_wrapper():
     m1 = jnp.ones((1, s, s, 1), jnp.float32)
     th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (1, 4, 4))
     with jax.default_device(jax.devices("cpu")[0]):
-        variables = jax.jit(model.init)(key, z, m1, z, th, th)
-        hp_vars = jax.jit(HeadPoseRegressor().init)(key, z)
+        variables = fast_random_variables(model.init, key, z, m1, z, th, th)
+        hp_vars = fast_random_variables(HeadPoseRegressor().init, key, z)
     if "bf16" in os.environ.get("BENCH_MODE", "fused_bf16"):
         cast = lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
         variables = jax.tree.map(cast, variables)
@@ -278,7 +302,8 @@ def main():
         z = jnp.zeros((b, s, s, 3), jnp.float32)
         m1 = jnp.ones((b, s, s, 1), jnp.float32)
         th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), z, m1, z, th, th)
+        variables = fast_random_variables(model.init, jax.random.PRNGKey(0),
+                                          z, m1, z, th, th)
 
     dtype = jnp.bfloat16 if "bf16" in mode else jnp.float32
     if dtype == jnp.bfloat16:

@@ -88,6 +88,12 @@ class ExpressionEmbedConfig:
     # lpe_final_pooling_type (va_arguments.py:339, prod 'avg'): 'transformer' pools
     # the trunk feature map with a ViT cls-token head (utils.py TransformerHead :629)
     final_pooling_type: str = "avg"
+    # keypoint->theta fit options (reference expression_embedder.py:254-300;
+    # consumed by models.estimate_theta_from_keypoints): 'umeyama' closed form or
+    # 'fit' iterative LM; sep_scales = lpe_head_transform_sep_scales 9-param
+    # variant (per-axis scales — forces the iterative path)
+    theta_fit_method: str = "umeyama"
+    theta_fit_sep_scales: bool = False
 
 
 @dataclass(frozen=True)
@@ -330,6 +336,33 @@ class TrainConfig:
     vol_loss_grad: float = 1.0
     vol_loss_iter_start: int = 20    # the reference hardcodes iteration > 20
     num_b_negs: int = 1
+    # separate_stm (prod True, va_losses_and_visuals.py:500-506): on iterations
+    # where `iteration % (sec_dataset_every//2) == 0` (the FEED-spliced batches)
+    # the stm term splits — batch element 0 (the spliced extreme-emotion sample)
+    # at fixed weight 1.5, elements 1.. at weights.stm
+    separate_stm: bool = True
+    # resnet18_fv_mix runs on only the first bs_resnet18_fv_mix batch elements
+    # (prod 2; va_losses_and_visuals.py:331)
+    bs_resnet18_fv_mix: int = 2
+    # vgg19 perceptual pyramid depth (prod 4); the step additionally clamps so the
+    # smallest level keeps >= 32px through VGG's pools
+    vgg19_num_scales: int = 4
+    # volume_process_nw update freeze cadence (va.py:517-524; <=0 = off, prod -1):
+    # on iterations where `step % freeze_proc_nw == 0` the 3D U-Net's params and
+    # optimizer moments are held (torch requires_grad=False equivalent)
+    freeze_proc_nw: int = -1
+    # ---- input-pipeline augmentation strengths (datasets/voxceleb2hq_pairs.py) ----
+    # geometric crop-zoom on train pairs (prod --augment_geometric_train False)
+    augment_geometric_train: bool = False
+    # color jitter + grayscale pipeline on train pairs (reference default True)
+    augment_color_train: bool = True
+    # prod --aug_color_coef 10 => ColorJitter(hue .03c, brightness .06*max(1,c/2),
+    # contrast .03c, saturation .03c, p=0.8) (voxceleb2hq_pairs.py:91-95)
+    aug_color_coef: float = 10.0
+    # warp_aug stream ColorJitter(brightness .4, contrast/saturation/hue .4c)
+    # + RandomGrayscale(p=.05) (voxceleb2hq_pairs.py:385-391; prod c=1)
+    warp_aug_color_coef: float = 1.0
+    gray_source_prob: float = 0.0   # A.ToGray prob inside the color pipeline
     pred_mixing: bool = True
     # mixing-pose randomization (va.py:650, non_specific.py:137-152; prod True):
     # with prob 0.5 the mixing pose comes from a 50-deep history pool of past
@@ -387,6 +420,10 @@ class ModelConfig:
     expression_embedder: ExpressionEmbedConfig = field(default_factory=ExpressionEmbedConfig)
     warp_generator: WarpGeneratorConfig = field(default_factory=WarpGeneratorConfig)
     unet3d: Unet3DConfig = field(default_factory=Unet3DConfig)
+    # secondary post-warp U-Net used only when unet_first (reference unet3d_cfg_s,
+    # va_arguments.py:438-460: dummy_input_size 16, max_channels 96+32)
+    unet3d_s: Unet3DConfig = field(
+        default_factory=lambda: Unet3DConfig(dummy_input_size=16, max_channels=128))
     vpn_source: VPNResBlocksConfig = field(default_factory=VPNResBlocksConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
@@ -407,6 +444,20 @@ class ModelConfig:
     use_back: bool = False
     use_tensor: bool = False
     use_mix_dis: bool = False
+    # theta source (reference --estimate_head_pose_from_keypoints, prod True =
+    # frozen HeadPoseRegressor; the INVERTED repo field selects the alternate
+    # branch va.py:380-384 where training thetas are FITTED from the stored 68x3
+    # landmarks vs the canonical template — method/sep_scales picked by the
+    # expression_embedder theta_fit_* knobs)
+    theta_from_keypoints: bool = False
+    # unet_first (va.py:194-218,505-537; default False): run the embed-conditioned
+    # 3D U-Net BEFORE the source warps and a secondary U-Net (unet3d_s) after,
+    # instead of VPN blocks before / U-Net after
+    unet_first: bool = False
+    # periodic latent-volume detach before the source warps (va.py:512-514;
+    # <=0 = off, prod -1): on iterations where step % detach_lat_vol == 0 the
+    # pre-warp latent volume is stop-gradiented
+    detach_lat_vol: int = -1
     grid_sample_padding_mode: str = "reflection"
     warp_norm_grad: bool = False
     # Compose back-to-back warp fields into one volume gather on the inference paths
@@ -648,7 +699,71 @@ _REF_ARG_MAP = {
     "l1_vol_rgb_mix": [("weights.l1_vol_rgb_mix", float)],
     "neu_exp_l1": [("weights.neutral_expr_l1", float)],
     "vgg19_neutral": [("weights.vgg19_neutral", float)],
+    "contrastive_idt": [("weights.contrastive_idt", float)],
+    "face_resnet": [("weights.face_resnet", float)],
+    "perc_face_pars": [("weights.perc_face_pars", float)],
+    "vgg19_fv_mix": [("weights.vgg19_fv_mix", float)],
+    "vgg19_num_scales": [("train.vgg19_num_scales", int)],
+    "separate_stm": [("train.separate_stm", _str2bool)],
+    "bs_resnet18_fv_mix": [("train.bs_resnet18_fv_mix", int)],
+    "mead_as_second_every": [("train.mead_as_second_every", int)],
+    "detach_lat_vol": [("model.detach_lat_vol", int)],
+    "freeze_proc_nw": [("train.freeze_proc_nw", int)],
+    "unet_first": [("model.unet_first", _str2bool)],
+    "dec_use_adanorm": [("model.decoder.use_adanorm", _str2bool)],
+    "lpe_face_backbone": [("model.expression_embedder.backbone", str)],
+    "lpe_head_transform_sep_scales": [
+        ("model.expression_embedder.theta_fit_sep_scales", _str2bool)],
+    # prod True = frozen regressor; False = keypoint-fitted thetas (inverted here)
+    "estimate_head_pose_from_keypoints": [
+        ("model.theta_from_keypoints", lambda v: not _str2bool(v))],
+    # every generator subnet reads the same norm switch (va_arguments passes
+    # args.norm_layer_type into each subconfig)
+    "norm_layer_type": [("model.local_encoder.norm", str),
+                        ("model.idt_embedder.norm", str),
+                        ("model.expression_embedder.norm", str),
+                        ("model.warp_generator.norm", str),
+                        ("model.unet3d.norm", str),
+                        ("model.unet3d_s.norm", str),
+                        ("model.vpn_source.norm", str),
+                        ("model.decoder.norm", str)],
+    # input-pipeline augmentation knobs (datasets/voxceleb2hq_pairs.py:537-552)
+    "aug_color_coef": [("train.aug_color_coef", float)],
+    "warp_aug_color_coef": [("train.warp_aug_color_coef", float)],
+    "gray_source_prob": [("train.gray_source_prob", float)],
+    "augment_geometric_train": [("train.augment_geometric_train", _str2bool)],
+    "augment_color_train": [("train.augment_color_train", _str2bool)],
     "experiment_name": [("experiment_name", str)],
+}
+
+# Reference flags with NO live counterpart here, by design — documented so the
+# parser can distinguish "known-inert" from "silently dropped". Categories:
+#   infra:   torch-launcher / device-count flags replaced by the JAX process model
+#   logging: print/save toggles with repo equivalents that are always-on or CLI-side
+#   dataset: stream selection is by CLI data-root paths, not name flags
+#   dead:    reference options whose prod value disables a branch this framework
+#            implements differently or that the reference itself never exercises
+#            (citations in docs/PARITY notes)
+_KNOWN_INERT_FLAGS = {
+    "num_gpus": "infra (JAX process/device model)",
+    "master_port": "infra (torch.distributed launcher)",
+    "nproc_per_node": "infra (torch.distributed launcher)",
+    "dataset_name": "dataset (streams chosen by --data-root CLIs)",
+    "dataset_name_test": "dataset",
+    "use_sec_dataset": "dataset (FEED stream = --second-data-root presence)",
+    "custom_test": "logging (enabled by Trainer(custom_test_images=...))",
+    "print_norms": "logging",
+    "print_model": "logging",
+    "save_exp_vectors": "logging",
+    "use_amp": "infra (precision is train.bf16_activations / bf16_towers)",
+    "use_masked_aug": "dead (prod False; masked-face aug source for warp_aug)",
+    "separate_idt": "dead (prod False; va.py separate-identity embed variant)",
+    "dec_pred_seg": "dead (prod False; decoder segmentation head)",
+    "old_mix_pose": "dead (prod False; legacy mixing-pose path — "
+                    "geometry/transforms.py implements the new polar path)",
+    "emb_v_exp": "dead (prod False; expression embed volume variant)",
+    "dec_no_detach_frec": "dead (prod 1 = never-detach branch in decoder feed)",
+    "dec_key_emb": "dead (prod 'orig_d' is the implemented embed-key path)",
 }
 
 
@@ -664,13 +779,16 @@ def _replace_path(cfg: "ExperimentConfig", dotted: str, value):
     return rec(cfg, 0)
 
 
-def from_reference_args(text_or_path: str):
+def from_reference_args(text_or_path: str, strict: bool = False):
     """Build an ExperimentConfig from a reference `args.txt` command line
     (the snapshot saved next to every reference checkpoint — utils/args.py:34-65;
     e.g. /root/reference/experiments/args.txt). Returns (config, unknown_flags):
-    flags with no counterpart here are collected, not errors, mirroring the
-    reference's tolerant re-parse."""
+    flags with no counterpart are collected. Flags in the documented
+    `_KNOWN_INERT_FLAGS` set pass silently; any OTHER unmapped flag is warned
+    about (or raises under strict=True) — a non-default value there would be
+    silently mis-parsed, which is exactly what this function exists to prevent."""
     import os
+    import warnings
 
     text = text_or_path
     if os.path.exists(text_or_path):
@@ -697,4 +815,11 @@ def from_reference_args(text_or_path: str):
                 cfg = _replace_path(cfg, dotted, conv(value))
         else:
             unknown[name] = value
+    surprises = sorted(set(unknown) - set(_KNOWN_INERT_FLAGS))
+    if surprises:
+        msg = (f"reference args contain unmapped, undocumented flags: {surprises} "
+               "— add them to _REF_ARG_MAP or _KNOWN_INERT_FLAGS")
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg)
     return cfg, unknown

@@ -17,26 +17,105 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+_GRAY_W = np.asarray([0.299, 0.587, 0.114], np.float32)
+
+
+def _rgb_to_hsv(img: np.ndarray) -> np.ndarray:
+    """Vectorized RGB->HSV on float [0,1] HWC arrays (colorsys conventions)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = img.max(axis=-1)
+    minc = img.min(axis=-1)
+    v = maxc
+    rng_ = maxc - minc
+    s = np.where(maxc > 0, rng_ / np.maximum(maxc, 1e-12), 0.0)
+    safe = np.maximum(rng_, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = np.where(maxc == r, bc - gc,
+                 np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = np.where(rng_ > 0, (h / 6.0) % 1.0, 0.0)
+    return np.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int64) % 6
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
 def color_jitter(img: np.ndarray, rng: np.random.Generator,
-                 strength: float = 0.1) -> np.ndarray:
-    """Brightness/contrast/saturation jitter on float [0,1] images (B~albumentations
-    ColorJitter semantics, coefficient scaled by aug_color_coef in prod)."""
-    b = 1.0 + rng.uniform(-strength, strength)
-    c = 1.0 + rng.uniform(-strength, strength)
-    s = 1.0 + rng.uniform(-strength, strength)
-    out = img * b
-    mean = out.mean(axis=(-3, -2), keepdims=True)
-    out = (out - mean) * c + mean
-    gray = out.mean(axis=-1, keepdims=True)
-    out = (out - gray) * s + gray
-    return np.clip(out, 0.0, 1.0)
+                 brightness: float = 0.1, contrast: float = 0.1,
+                 saturation: float = 0.1, hue: float = 0.0,
+                 p: float = 1.0) -> np.ndarray:
+    """torchvision/albumentations ColorJitter semantics on float [0,1] HWC images:
+    factors drawn uniform in [max(0, 1-x), 1+x] (hue shift in [-hue, hue] turns),
+    the four adjustments applied in a RANDOM ORDER with per-op clamping, the whole
+    transform applied with probability p. Prod strengths come from aug_color_coef
+    (reference voxceleb2hq_pairs.py:91-95: hue .03c, brightness .06*max(1, c/2),
+    contrast/saturation .03c, p=0.8; c=10 => ~0.3 each)."""
+    params = sample_jitter_params(rng, brightness, contrast, saturation, hue, p)
+    return apply_jitter(img, params)
+
+
+def sample_jitter_params(rng: np.random.Generator, brightness: float,
+                         contrast: float, saturation: float, hue: float,
+                         p: float = 1.0):
+    """Draw one set of jitter factors (or None when the p-gate skips). One draw
+    shared across frames reproduces the reference's pair-consistent albumentations
+    Compose call (voxceleb2hq_pairs.py:264-266: one `self.aug(**imgs_dict)` over
+    source+target via additional_targets)."""
+    if p < 1.0 and rng.random() >= p:
+        return None
+    fb = rng.uniform(max(0.0, 1.0 - brightness), 1.0 + brightness) \
+        if brightness > 0 else 1.0
+    fc = rng.uniform(max(0.0, 1.0 - contrast), 1.0 + contrast) \
+        if contrast > 0 else 1.0
+    fs = rng.uniform(max(0.0, 1.0 - saturation), 1.0 + saturation) \
+        if saturation > 0 else 1.0
+    fh = rng.uniform(-hue, hue) if hue > 0 else 0.0
+    return fb, fc, fs, fh, rng.permutation(4)
+
+
+def apply_jitter(img: np.ndarray, params) -> np.ndarray:
+    if params is None:
+        return img
+    fb, fc, fs, fh, order = params
+    out = img.astype(np.float32)
+    for op in order:
+        if op == 0 and fb != 1.0:
+            out = np.clip(out * fb, 0.0, 1.0)
+        elif op == 1 and fc != 1.0:
+            # torch blends toward the MEAN OF THE GRAYSCALE image
+            gm = np.float32((out @ _GRAY_W).mean())
+            out = np.clip((out - gm) * fc + gm, 0.0, 1.0)
+        elif op == 2 and fs != 1.0:
+            g = (out @ _GRAY_W)[..., None]
+            out = np.clip((out - g) * fs + g, 0.0, 1.0)
+        elif op == 3 and fh != 0.0:
+            hsv = _rgb_to_hsv(out)
+            hsv[..., 0] = (hsv[..., 0] + fh) % 1.0
+            out = np.clip(_hsv_to_rgb(hsv), 0.0, 1.0)
+    return out
+
+
+def to_grayscale3(img: np.ndarray) -> np.ndarray:
+    g = img @ _GRAY_W.astype(img.dtype)
+    return np.repeat(g[..., None], 3, axis=-1)
 
 
 def random_grayscale(img: np.ndarray, rng: np.random.Generator,
                      p: float = 0.05) -> np.ndarray:
     if rng.random() < p:
-        g = img @ np.asarray([0.299, 0.587, 0.114], img.dtype)
-        return np.repeat(g[..., None], 3, axis=-1)
+        return to_grayscale3(img)
     return img
 
 

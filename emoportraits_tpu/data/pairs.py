@@ -17,6 +17,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from .augment import (
+    apply_jitter,
     bilinear_resize,
     color_jitter,
     elastic_warp,
@@ -24,6 +25,8 @@ from .augment import (
     random_grayscale,
     random_rotate_pair,
     random_shift_pair,
+    sample_jitter_params,
+    to_grayscale3,
 )
 from .records import ShardedClipStore
 
@@ -35,12 +38,29 @@ class PairDataset:
                  augment: bool = True, augment_geometric: bool = True, seed: int = 0,
                  rot_aug_angle: float = 0.0, shift_limit: float = 0.0,
                  rand_shift_prob: float = 0.0,
+                 augment_color: bool = True, aug_color_coef: float = 1.0,
+                 warp_aug_color_coef: float = 1.0, gray_source_prob: float = 0.0,
                  ffhq_size: int = 0, align_scale: float = 1.33,
                  process_index: int = 0, process_count: int = 1):
         self.store = store
         self.image_size = image_size
         self.augment = augment
         self.augment_geometric = augment_geometric
+        # color pipeline strengths (reference voxceleb2hq_pairs.py:89-97: one
+        # ColorJitter(hue .03c, brightness .06*max(1, c/2), contrast .03c,
+        # saturation .03c, p=0.8) + ToGray(gray_source_prob), pair-consistent
+        # params; prod aug_color_coef=10 => ~0.3 each)
+        self.augment_color = augment_color
+        c = aug_color_coef
+        self.jitter = dict(hue=min(0.03 * c, 0.5),
+                           brightness=0.06 * max(1.0, c / 2.0),
+                           contrast=0.03 * c, saturation=0.03 * c, p=0.8)
+        # warp_aug stream ColorJitter(brightness .4, contrast/saturation/hue .4w)
+        # + RandomGrayscale(p=.05), independent per stream (:385-391, :399-400)
+        wc = warp_aug_color_coef
+        self.warp_jitter = dict(brightness=0.4, contrast=0.4 * wc,
+                                saturation=0.4 * wc, hue=min(0.4 * wc, 0.5))
+        self.gray_source_prob = gray_source_prob
         # reference rot_aug / rand_crop knobs (voxceleb2hq_pairs.py:40-47; all 0
         # in prod -> off): rotation limit in degrees, shift as a side fraction
         self.rot_aug_angle = rot_aug_angle
@@ -124,10 +144,23 @@ class PairDataset:
                         src, tgt, smask, tmask = arrs
                         if kp is not None:
                             skp, tkp = kp[0], kp[1]
-                    src = random_grayscale(color_jitter(src, self.rng), self.rng)
-                    tgt = random_grayscale(color_jitter(tgt, self.rng), self.rng)
-                    out["source_warp_aug"] = elastic_warp(src, self.rng)
-                    out["target_warp_aug"] = elastic_warp(tgt, self.rng)
+                    if self.augment_color:
+                        # one param draw for the pair (reference applies a single
+                        # albumentations Compose over source+target)
+                        params = sample_jitter_params(self.rng, **self.jitter)
+                        src = apply_jitter(src, params)
+                        tgt = apply_jitter(tgt, params)
+                        if (self.gray_source_prob > 0
+                                and self.rng.random() < self.gray_source_prob):
+                            src, tgt = to_grayscale3(src), to_grayscale3(tgt)
+                    # expression-net stream: elastic warp -> ColorJitter ->
+                    # RandomGrayscale(.05), independent per stream (:399-400)
+                    out["source_warp_aug"] = random_grayscale(
+                        color_jitter(elastic_warp(src, self.rng), self.rng,
+                                     **self.warp_jitter), self.rng, p=0.05)
+                    out["target_warp_aug"] = random_grayscale(
+                        color_jitter(elastic_warp(tgt, self.rng), self.rng,
+                                     **self.warp_jitter), self.rng, p=0.05)
                 out.update({
                     "source_img": np.ascontiguousarray(src),
                     "target_img": np.ascontiguousarray(tgt),

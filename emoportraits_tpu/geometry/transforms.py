@@ -63,6 +63,31 @@ def get_similarity_transform_matrix(scale, rotation, translation) -> jax.Array:
     return get_transform_matrix(scale, rotation, translation)[:, :3]
 
 
+def rotation_to_euler(r: jax.Array) -> jax.Array:
+    """(B, 3, 3) rotation matrices -> (B, 3) yaw/pitch/roll, inverting
+    `euler_to_rotation`'s convention (r20 = -sin(pitch); valid on the clamped
+    range the reference's head thetas live in)."""
+    yaw = jnp.arctan2(r[:, 1, 0], r[:, 0, 0])
+    pitch = -jnp.arcsin(jnp.clip(r[:, 2, 0], -1.0, 1.0))
+    roll = jnp.arctan2(r[:, 2, 1], r[:, 2, 2])
+    return jnp.stack([yaw, pitch, roll], axis=-1)
+
+
+def decompose_transform_matrix(theta: jax.Array):
+    """Invert `get_transform_matrix`: (B, 4, 4) or (B, 3, 4) theta = S @ R @ T ->
+    (scale (B, 3), euler rotation (B, 3), translation (B, 3)). The linear block's
+    row i is s_i * R[i, :], so per-axis scales are row norms; translation solves
+    theta[:3, 3] = (S @ R) @ t. Used by the keypoint-theta training branch
+    (reference estimate_head_pose_from_keypoints=False, va.py:380-384) to feed the
+    downstream (scale, rotation, translation) consumers that the head-pose
+    regressor normally supplies (head_pose_regressor.py return_srt)."""
+    lin = theta[:, :3, :3]
+    scale = jnp.linalg.norm(lin, axis=-1)
+    r = lin / scale[..., None]
+    trans = jnp.einsum("bij,bj->bi", jnp.linalg.inv(lin), theta[:, :3, 3])
+    return scale, rotation_to_euler(r), trans
+
+
 def inverse_theta_4x4(theta: jax.Array) -> jax.Array:
     """Invert (B, 3, 4) or (B, 4, 4) affine transforms via 4x4 completion."""
     if theta.shape[-2] == 3:
@@ -224,10 +249,17 @@ def fit_similarity_transform(keypoints: jax.Array, canonical: jax.Array,
         g = jnp.einsum("bri,br->bi", J, r)
         eye = jnp.eye(JtJ.shape[-1], dtype=JtJ.dtype)
         # damping scaled by the diagonal magnitude keeps the solve stable when a
-        # parameter direction is momentarily flat (euler clamp boundary)
-        lam = damping * jnp.trace(JtJ, axis1=-2, axis2=-1)[:, None, None]
+        # parameter direction is momentarily flat (euler clamp boundary); the
+        # absolute floor keeps lam > 0 on degenerate landmark sets (near-
+        # coincident keypoints -> JtJ ~ 0 -> singular solve -> NaN otherwise)
+        lam = (damping * jnp.trace(JtJ, axis1=-2, axis2=-1)[:, None, None]
+               + jnp.asarray(1e-8, JtJ.dtype))
         step = jnp.linalg.solve(JtJ + lam * eye, g[..., None])[..., 0]
-        return p - step, None
+        # reject non-finite iterates per sample (keep the previous p instead of
+        # propagating NaNs out of a bad solve)
+        p_new = p - step
+        ok = jnp.isfinite(p_new).all(axis=-1, keepdims=True)
+        return jnp.where(ok, p_new, p), None
 
     p, _ = jax.lax.scan(lm_step, p0, None, length=iters)
     scale, rot, trans = (p[:, :nscale], p[:, nscale:nscale + 3],

@@ -16,6 +16,7 @@ from .expression import (
     pull_loss,
     push_loss,
     stm_loss,
+    stm_loss_elems,
 )
 from .metrics import ms_ssim, psnr, ssim
 from .perceptual import (

@@ -49,13 +49,21 @@ def push_loss(pred_exp: jax.Array, negatives: jax.Array,
     return loss
 
 
+def stm_loss_elems(source_exp: jax.Array, target_exp: jax.Array,
+                   margin: float = 0.5) -> jax.Array:
+    """Per-element source-target-margin terms, (B,) — no reduction. The prod
+    `separate_stm` branch (reference :500-506) weights batch element 0 (the
+    FEED-spliced extreme-emotion sample) differently from the rest."""
+    return cosine_embedding_loss(
+        jax.lax.stop_gradient(source_exp), target_exp, target=-1,
+        margin=margin, reduce=False)
+
+
 def stm_loss(source_exp: jax.Array, target_exp: jax.Array,
              margin: float = 0.5) -> jax.Array:
     """Source-target margin: source and target of the same identity should differ in
     expression (reference :501-509, cosin_sim_2 margin 0.5)."""
-    return jnp.mean(cosine_embedding_loss(
-        jax.lax.stop_gradient(source_exp), target_exp, target=-1,
-        margin=margin, reduce=False))
+    return jnp.mean(stm_loss_elems(source_exp, target_exp, margin))
 
 
 def contrastive_loss(pos_dot: jax.Array, neg_dot: jax.Array,

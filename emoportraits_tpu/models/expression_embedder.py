@@ -77,6 +77,9 @@ def estimate_theta_from_keypoints(keypoints: jax.Array,
     keypoints: (B, 68, 3) in [-1, 1]; canonical: (68, 3) template. Returns (B, 4, 4)
     theta mapping keypoints -> canonical frame.
     """
+    if method not in ("umeyama", "fit"):
+        raise ValueError(f"estimate_theta_from_keypoints: unknown method "
+                         f"{method!r} (expected 'umeyama' or 'fit')")
     if method == "fit" or sep_scales:
         from ..geometry.transforms import fit_similarity_transform
 

@@ -62,6 +62,9 @@ class VolumetricAvatar(nn.Module):
         # conv/matmul outputs and recomputes only the cheap elementwise chain —
         # a middle point between full recompute and no remat.
         if m.remat:
+            if m.remat_policy not in ("", "dots"):
+                raise ValueError(f"remat_policy={m.remat_policy!r}: expected '' "
+                                 "(full recompute) or 'dots'")
             kw = {}
             if m.remat_policy == "dots":
                 kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
@@ -86,7 +89,11 @@ class VolumetricAvatar(nn.Module):
         self.xy_generator_nw = WarpGenerator(m.warp_generator, **sn)
         self.uv_generator_nw = WarpGenerator(m.warp_generator, **sn)
         if m.source_volume_num_blocks > 0:
-            self.volume_source_nw = VPNResBlocks(m.vpn_source, **sn)
+            # unet_first (va.py:194-200): volume_source becomes a secondary U-Net
+            # (unet3d_cfg_s) that runs AFTER the source warps; default is VPN
+            # res-blocks BEFORE them
+            self.volume_source_nw = (Unet3D_(m.unet3d_s, **sn) if m.unet_first
+                                     else VPNResBlocks(m.vpn_source, **sn))
         self.volume_process_nw = Unet3D_(m.unet3d, **sn)
         if m.pred_volume_num_blocks > 0:
             self.volume_pred_nw = VPNResBlocks(m.vpn_source, **sn)
@@ -194,6 +201,7 @@ class VolumetricAvatar(nn.Module):
         source_expr_img: Optional[jax.Array] = None,
         target_expr_img: Optional[jax.Array] = None,
         conv_alpha=1.0,  # AdaptiveConv annealing (only read when use_adaconv)
+        step: Optional[jax.Array] = None,  # iteration, for detach_lat_vol
     ) -> Dict[str, Any]:
         """Training/inference forward for a (source, target) pair
         (reference G_forward, va.py:287-765; prod flag settings).
@@ -232,12 +240,29 @@ class VolumetricAvatar(nn.Module):
         source_rotation_warp = self.rotation_warp(source_theta, invert=True)
         target_rotation_warp = self.rotation_warp(target_theta, invert=False)
 
-        if self.cfg.source_volume_num_blocks > 0:
+        # 3D feature preprocess + process ordering (va.py:505-537): prod runs the
+        # VPN blocks before the source warps and the U-Net after; unet_first swaps
+        # (the embed-conditioned U-Net first, the secondary U-Net after).
+        if self.cfg.unet_first:
+            latent_volume = self.volume_process_nw(latent_volume)
+        elif self.cfg.source_volume_num_blocks > 0:
             latent_volume = self.volume_source_nw(latent_volume)
 
-        canonical = sp_volume(self.volume_process_nw(
-            self._grid_sample(self._grid_sample(latent_volume, source_rotation_warp),
-                              xy_warp)))
+        if self.cfg.detach_lat_vol > 0 and step is not None:
+            # periodic latent-volume detach (va.py:512-514): gradient flow into the
+            # encoder/preprocess is cut on iterations where step % detach == 0
+            hold = ((step % self.cfg.detach_lat_vol) == 0)
+            latent_volume = jnp.where(hold, jax.lax.stop_gradient(latent_volume),
+                                      latent_volume)
+
+        warped_src = self._grid_sample(
+            self._grid_sample(latent_volume, source_rotation_warp), xy_warp)
+        if self.cfg.unet_first:
+            canonical = sp_volume(self.volume_source_nw(warped_src)
+                                  if self.cfg.source_volume_num_blocks > 0
+                                  else warped_src)
+        else:
+            canonical = sp_volume(self.volume_process_nw(warped_src))
         if self.cfg.use_tensor:
             canonical = canonical + self.avarage_tensor_ts.astype(canonical.dtype)
         out["canonical_volume"] = canonical
@@ -331,10 +356,17 @@ class VolumetricAvatar(nn.Module):
         embed = self.fuse_embed(target_pose_embed, idt_embed)
         xy_warp, _ = self.xy_generator_nw(embed, conv_alpha)
         latent = self.local_encoder_nw(target_img * target_mask)
-        if self.cfg.source_volume_num_blocks > 0:
+        if self.cfg.unet_first:
+            # unet_first variant (va.py:558-565): U-Net before the warps,
+            # secondary U-Net after
+            latent = self.volume_process_nw(latent)
+        elif self.cfg.source_volume_num_blocks > 0:
             latent = self.volume_source_nw(latent)
         rot_warp = self.rotation_warp(inv_theta_st, invert=False)
         latent = self._grid_sample(self._grid_sample(latent, rot_warp), xy_warp)
+        if self.cfg.unet_first:
+            return (self.volume_source_nw(latent)
+                    if self.cfg.source_volume_num_blocks > 0 else latent)
         return self.volume_process_nw(latent)
 
     # ------------------------------------------------- streaming inference split
@@ -350,7 +382,9 @@ class VolumetricAvatar(nn.Module):
         source_embed = self.fuse_embed(source_pose_embed, idt_embed)
         xy_warp, _ = self.xy_generator_nw(source_embed)
         rot_warp = self.rotation_warp(source_theta, invert=True)
-        if self.cfg.source_volume_num_blocks > 0:
+        if self.cfg.unet_first:
+            latent_volume = self.volume_process_nw(latent_volume)
+        elif self.cfg.source_volume_num_blocks > 0:
             latent_volume = self.volume_source_nw(latent_volume)
         if self.cfg.fuse_warps:
             # compose rot∘xy into one gather (see drive() docstring)
@@ -360,7 +394,12 @@ class VolumetricAvatar(nn.Module):
         else:
             warped = self._grid_sample(self._grid_sample(latent_volume, rot_warp),
                                        xy_warp)
-        canonical = sp_volume(self.volume_process_nw(warped))
+        if self.cfg.unet_first:
+            canonical = sp_volume(self.volume_source_nw(warped)
+                                  if self.cfg.source_volume_num_blocks > 0
+                                  else warped)
+        else:
+            canonical = sp_volume(self.volume_process_nw(warped))
         return AvatarState(canonical, idt_embed, source_pose_embed)
 
     def drive(self, state: AvatarState, driver_img: jax.Array,

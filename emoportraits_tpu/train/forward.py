@@ -52,8 +52,12 @@ FrozenNet = Tuple[Callable, Any]
 def make_gen_apply(
     cfg: ExperimentConfig,
     model: VolumetricAvatar,
-    head_pose_apply: Callable,   # (params, img, return_srt) -> theta / (theta, s, r, t)
+    head_pose_apply: Optional[Callable],  # (params, img, return_srt) -> theta /
+    #                                       (theta, s, r, t); None selects the
+    #                                       keypoint-fitted-theta branch
     head_pose_params: Any,
+    canonical_keypoints: Optional[jax.Array] = None,  # (68, 3) template for the
+    # keypoint-theta branch (the reference's data/aligned_keypoints_3d.npy role)
     face_parsing: Optional[FrozenNet] = None,  # img01 -> (B, H, W, 19) logits
     matting: Optional[FrozenNet] = None,       # img01 -> (B, H, W, 1) alpha
     rtnet: Optional[FrozenNet] = None,  # (img01, keypoints) -> (B, H, W, 1) face prob
@@ -120,13 +124,34 @@ def make_gen_apply(
                 src_mask = src_mask * src_face.astype(src_mask.dtype)
                 tgt_mask = tgt_mask * tgt_face.astype(tgt_mask.dtype)
 
-        # Frozen head pose (reference va.py:375-378, under no_grad).
-        hp = lambda img: head_pose_apply(hp_params, jax.lax.stop_gradient(img),
-                                         return_srt=True)
-        src_theta, src_scale, src_rot, src_tr = jax.tree.map(jax.lax.stop_gradient,
-                                                             hp(src))
-        tgt_theta, tgt_scale, tgt_rot, tgt_tr = jax.tree.map(jax.lax.stop_gradient,
-                                                             hp(tgt))
+        if head_pose_apply is not None:
+            # Frozen head pose (reference va.py:375-378, under no_grad).
+            hp = lambda img: head_pose_apply(hp_params, jax.lax.stop_gradient(img),
+                                             return_srt=True)
+            src_theta, src_scale, src_rot, src_tr = jax.tree.map(
+                jax.lax.stop_gradient, hp(src))
+            tgt_theta, tgt_scale, tgt_rot, tgt_tr = jax.tree.map(
+                jax.lax.stop_gradient, hp(tgt))
+        else:
+            # estimate_head_pose_from_keypoints=False branch (va.py:380-384): the
+            # ground-truth thetas are fitted from the stored 68-point 3D landmarks
+            # against the canonical template (reference estimate_theta's host-side
+            # LBFGS -> on-device Umeyama / LM fit here, selected by the
+            # lpe theta_fit_method / theta_fit_sep_scales config knobs).
+            from ..geometry.transforms import decompose_transform_matrix
+            from ..models.expression_embedder import estimate_theta_from_keypoints
+
+            if canonical_keypoints is None:
+                raise ValueError("head_pose_apply=None requires "
+                                 "canonical_keypoints (the aligned 68x3 template)")
+            ec = cfg.model.expression_embedder
+            fit = lambda kp: estimate_theta_from_keypoints(
+                kp, canonical_keypoints, method=ec.theta_fit_method,
+                sep_scales=ec.theta_fit_sep_scales)
+            src_theta = jax.lax.stop_gradient(fit(batch["source_keypoints"]))
+            tgt_theta = jax.lax.stop_gradient(fit(batch["target_keypoints"]))
+            src_scale, src_rot, src_tr = decompose_transform_matrix(src_theta)
+            tgt_scale, tgt_rot, tgt_tr = decompose_transform_matrix(tgt_theta)
 
         mixing_theta = None
         new_pool = new_pool_count = None
@@ -172,6 +197,9 @@ def make_gen_apply(
             source_expr_img=batch.get("source_warp_aug"),
             target_expr_img=batch.get("target_warp_aug"),
         )
+        if cfg.model.detach_lat_vol > 0 and aux.get("step") is not None:
+            # iteration for the periodic latent-volume detach (va.py:512-514)
+            apply_kwargs["step"] = aux["step"]
         if eval_mode:
             out = model.apply(variables, src, src_mask, tgt, src_theta, tgt_theta,
                               **apply_kwargs)
@@ -205,9 +233,15 @@ def make_gen_apply(
         # ---- mixing branch: matting + aligned crop + cycle re-embeds ----
         if train_cfg.pred_mixing:
             pred_img = out["pred_target_img"]
-            pred_theta = jax.lax.stop_gradient(
-                head_pose_apply(hp_params, jax.lax.stop_gradient(pred_img),
-                                return_srt=False))
+            if head_pose_apply is not None:
+                pred_theta = jax.lax.stop_gradient(
+                    head_pose_apply(hp_params, jax.lax.stop_gradient(pred_img),
+                                    return_srt=False))
+            else:
+                # keypoint-theta branch has no regressor to run on generated
+                # frames; the prediction reconstructs the target frame, so its
+                # pose IS the (fitted) target theta
+                pred_theta = tgt_theta
             out["pred_cycle_exp"] = model.apply(
                 frozen, pred_img, pred_theta, method=model.expression_vector)
 
@@ -219,9 +253,14 @@ def make_gen_apply(
                 mix_alpha = jax.lax.stop_gradient(mt_apply(mt_params, mix_img))
                 out["pred_mixing_mask"] = mix_alpha
                 out["pred_mixing_masked_img"] = mix_img * mix_alpha
-            mix_theta_pred = jax.lax.stop_gradient(
-                head_pose_apply(hp_params, jax.lax.stop_gradient(mix_img),
-                                return_srt=False))
+            if head_pose_apply is not None:
+                mix_theta_pred = jax.lax.stop_gradient(
+                    head_pose_apply(hp_params, jax.lax.stop_gradient(mix_img),
+                                    return_srt=False))
+            else:
+                # the mixing image is generated AT mixing_theta — use it directly
+                mix_theta_pred = (mixing_theta if mixing_theta is not None
+                                  else tgt_theta)
             # fv_mix crop: UNROLLED mixing image under its own regressed theta
             # (va.py:693-707 data_dict_exp pass -> mixing_img_align)
             out["mixing_img_align"] = align_face_crop(mix_img, mix_theta_pred, gs)

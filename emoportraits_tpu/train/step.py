@@ -30,6 +30,7 @@ from ..losses import (
     pull_loss,
     push_loss,
     stm_loss,
+    stm_loss_elems,
 )
 from ..losses.expression import cosine_embedding_loss
 from ..losses.gaze import gaze_loss
@@ -213,7 +214,8 @@ def gen_losses(
         # prod vgg19_num_scales=4 at 512px; clamp so the smallest pyramid level still
         # survives VGG's 4 pools (needs >= 32px input per scale).
         import math
-        n_scales = max(1, min(4, int(math.log2(pred.shape[1] // 32)) + 1))
+        n_scales = max(1, min(cfg.train.vgg19_num_scales,
+                              int(math.log2(pred.shape[1] // 32)) + 1))
         losses["vgg19"] = w.vgg19 * perceptual_loss(
             towers.vgg19_apply, towers.vgg19_params, pred, target, num_scales=n_scales)
     if towers.vggface_apply is not None and w.vgg19_face > 0:
@@ -333,10 +335,14 @@ def gen_losses(
     #     MIXING crop vs the aligned target crop (va_losses_and_visuals.py:324-355) ---
     if (towers.face_vector_embed is not None and w.resnet18_fv_mix > 0
             and "mixing_img_align" in out):
+        # the reference computes this on only the first bs_resnet18_fv_mix batch
+        # elements (prod 2; va_losses_and_visuals.py:331-343)
+        bs_fv = max(min(cfg.train.bs_resnet18_fv_mix,
+                        out["mixing_img_align"].shape[0]), 1)
         m = towers.face_vector_embed(towers.face_vector_params,
-                                     out["mixing_img_align"])
+                                     out["mixing_img_align"][:bs_fv])
         t = jax.lax.stop_gradient(towers.face_vector_embed(
-            towers.face_vector_params, out["target_img_align_orig"]))
+            towers.face_vector_params, out["target_img_align_orig"][:bs_fv]))
         losses["resnet18_fv_mix"] = g_mix * w.resnet18_fv_mix * cosine_embedding_loss(
             m, t, target=1)
 
@@ -430,18 +436,54 @@ def gen_losses(
         t_emb = out["target_pose_embed"]
         p_cyc = out["pred_cycle_exp"]
         m_cyc = out.get("mixing_cycle_exp")
+        mls = cfg.train.mix_losses_start
+        ep_len = max(cfg.train.train_epoch_len, 1)
+        if step_count is not None:
+            ep_ = step_count // ep_len
+            # mixing-term weight schedules (va_losses_and_visuals.py:462-463
+            # pull 0.5 -> 2 -> 3 across mix_losses_start; :489 push 0.5 -> 3)
+            mw_pull = jnp.where(ep_ <= mls, 0.5,
+                                jnp.where(ep_ <= 2 * mls, 2.0, 3.0))
+            mw_push = jnp.where(ep_ <= mls, 0.5, 3.0)
+        else:
+            mw_pull = mw_push = 0.5
         losses["pull_exp"] = g_contr * w.pull_exp * (
             pull_loss(p_cyc, t_emb)
-            + (0.5 * pull_loss(m_cyc, t_emb) if m_cyc is not None else 0.0))
-        push = push_loss(p_cyc, t_emb)
-        if m_cyc is not None:
-            push = push + 0.5 * push_loss(m_cyc, t_emb)
-        k = prev_targets.shape[0]
-        for i in range(k):
-            push = push + push_loss(p_cyc, jax.lax.stop_gradient(prev_targets[i])) / k
-        losses["push_exp"] = g_contr * w.push_exp * push
-        losses["stm"] = g_contr * w.push_exp * w.stm * stm_loss(
-            out["source_pose_embed"], t_emb)
+            + (mw_pull * pull_loss(m_cyc, t_emb) if m_cyc is not None else 0.0))
+        # push negatives list (va_losses_and_visuals.py:480-497): the reference
+        # appends the CURRENT target embed to the ring before the loop, so the
+        # entries are the last (num_b_negs - 1) DETACHED previous targets plus the
+        # current one (with grad); every push/stm term is then divided by
+        # num_b_negs (:518). The ring here holds the previous targets only.
+        k = max(prev_targets.shape[0], 1)
+        negs_list = [jax.lax.stop_gradient(prev_targets[i]) for i in range(1, k)]
+        negs_list.append(t_emb)
+        push = jnp.zeros((), jnp.result_type(p_cyc))
+        for negs in negs_list:
+            term = push_loss(p_cyc, negs)
+            if m_cyc is not None:
+                term = term + mw_push * push_loss(m_cyc, negs)
+            push = push + term
+        losses["push_exp"] = g_contr * w.push_exp * push / k
+        # stm gates on epoch >= mix_losses_start (:499), NOT the contrastive gate.
+        # Prod separate_stm=True (:500-506): on FEED-spliced iterations
+        # (within-epoch i % (sec_dataset_every//2) == 0, same parity the splice
+        # cadence uses — train.py:245-249) batch element 0 (the spliced
+        # extreme-emotion sample) is pushed at fixed weight 1.5 and the rest at
+        # weights.stm; other iterations use plain stm over the whole batch.
+        src_e = out["source_pose_embed"]
+        if (cfg.train.separate_stm and src_e.shape[0] > 1
+                and step_count is not None):
+            per = stm_loss_elems(src_e, t_emb)
+            it = step_count % ep_len
+            sep = (it % max(cfg.train.sec_dataset_every // 2, 1)) == 0
+            stm_val = jnp.where(sep,
+                                w.stm * jnp.mean(per[1:])
+                                + 1.5 * jnp.mean(per[:1]),
+                                w.stm * jnp.mean(per))
+        else:
+            stm_val = w.stm * stm_loss(src_e, t_emb)
+        losses["stm"] = g_mix * w.push_exp * stm_val / k
         # Barlow twins (0 in prod; va_losses_and_visuals.py:436-455, epoch-gated on
         # contr_losses_start): batch-standardized cross-correlation of each cycle
         # expression with the target expression. The reference all_reduces the
@@ -582,6 +624,9 @@ def make_train_step(
             gen_aux = dict(gen_aux or {})
             gen_aux["thetas_pool"] = state.thetas_pool
             gen_aux["thetas_pool_count"] = state.thetas_pool_count
+        if cfg.model.detach_lat_vol > 0:
+            gen_aux = dict(gen_aux or {})
+            gen_aux["step"] = state.step
 
         # ---------------- generator pass ----------------
         def gen_loss_fn(gen_params):
@@ -607,6 +652,24 @@ def make_train_step(
         gen_updates, gen_opt_state = gen_opt.update(
             gen_grads, state.gen_opt_state, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, gen_updates)
+        if cfg.train.freeze_proc_nw > 0:
+            # periodic freeze of the 3D U-Net (va.py:517-524 toggles
+            # requires_grad): on frozen iterations its params and Adam moments are
+            # held at their previous values (torch's None-grad skip — no update,
+            # no weight decay, no moment decay). The global Adam `count` still
+            # increments, a bias-correction detail torch's per-param steps avoid.
+            frozen = (state.step % cfg.train.freeze_proc_nw) == 0
+
+            def _hold(old_tree, new_tree):
+                def f(path, o, n):
+                    in_sub = any(
+                        getattr(p, "key", getattr(p, "name", None))
+                        == "volume_process_nw" for p in path)
+                    return jnp.where(frozen, o, n) if in_sub else n
+                return jax.tree_util.tree_map_with_path(f, old_tree, new_tree)
+
+            gen_params = _hold(state.gen_params, gen_params)
+            gen_opt_state = _hold(state.gen_opt_state, gen_opt_state)
 
         # ---------------- discriminator pass ----------------
         # D sees the generator's RAW output vs the composited target (reference

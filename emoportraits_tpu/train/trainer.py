@@ -45,7 +45,8 @@ class Trainer:
                  towers: Optional[LossTowers] = None,
                  frozen_nets: Optional[FrozenNets] = None,
                  tiny_towers: bool = False,
-                 strict_towers: bool = False):
+                 strict_towers: bool = False,
+                 canonical_keypoints: Optional["np.ndarray"] = None):
         self.cfg = cfg
         self.train_stream = train_stream
         self.test_stream = test_stream
@@ -88,8 +89,19 @@ class Trainer:
         if strict_towers:
             from .towers import assert_towers_ported
             assert_towers_ported(self.frozen_nets)
+        # theta_from_keypoints (reference estimate_head_pose_from_keypoints=False,
+        # va.py:380-384): drop the regressor and fit training thetas from the
+        # stored landmarks against the canonical template
+        kp_thetas = cfg.model.theta_from_keypoints
+        if kp_thetas and canonical_keypoints is None:
+            raise ValueError("model.theta_from_keypoints=True requires "
+                             "Trainer(canonical_keypoints=<(68, 3) template>)")
         gen_apply = make_gen_apply(
-            cfg, self.model, towers.head_pose_apply, towers.head_pose_params,
+            cfg, self.model,
+            None if kp_thetas else towers.head_pose_apply,
+            towers.head_pose_params,
+            canonical_keypoints=(jnp.asarray(canonical_keypoints)
+                                 if kp_thetas else None),
             face_parsing=self.frozen_nets.face_parsing,
             matting=self.frozen_nets.matting,
             rtnet=self.frozen_nets.rtnet)

@@ -142,7 +142,11 @@ def main():
     # BENCH_PHASES: comma-list subset (relay compiles can SIGSEGV transiently;
     # rerun just the missing phases instead of recompiling everything)
     want = os.environ.get("BENCH_PHASES", "gen_fwd,gen_loss_fwd,gen_grad,dis_step")
-    want = set(want.split(","))
+    want = {p.strip() for p in want.split(",") if p.strip()}
+    known = {"gen_fwd", "gen_loss_fwd", "gen_grad", "dis_step"}
+    if want - known:
+        raise SystemExit(f"BENCH_PHASES contains unknown phases {sorted(want - known)}; "
+                         f"known: {sorted(known)}")
     results = {}
     if "gen_fwd" in want:
         results["gen_fwd"] = time_it("gen_fwd", gen_fwd, gen_params, gen_sn,

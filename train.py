@@ -116,6 +116,11 @@ def main():
                 print(f"native loader unavailable for {root}: {e}")
         store = ShardedClipStore(root, split=split)
         ds = PairDataset(store, cfg.train.image_size, augment=(split == "train"),
+                         augment_geometric=cfg.train.augment_geometric_train,
+                         augment_color=cfg.train.augment_color_train,
+                         aug_color_coef=cfg.train.aug_color_coef,
+                         warp_aug_color_coef=cfg.train.warp_aug_color_coef,
+                         gray_source_prob=cfg.train.gray_source_prob,
                          seed=cfg.train.seed,
                          ffhq_size=cfg.train.image_size if args.stage2 else 0,
                          process_index=jax.process_index(),
