@@ -11,6 +11,8 @@ Env knobs:
       bf16 runs parameters+activations in bfloat16.
   BENCH_BATCH = concurrent avatars per chip (default 1).
   BENCH_TRAIN = 1 -> measure the full GAN train step (it/s + MFU) instead of serving.
+  BENCH_CASCADE = 1 -> end-to-end stage1+stage2 serving (fused single-dispatch
+      program vs sequential two-dispatch; the with-enhancer headline).
 
 Measured on TPU v5e (single chip, 512px): plain_f32 41.6 fps, fused_f32 43.4,
 plain_bf16 53.6, fused_bf16 59.95 fps (MFU 0.315, after the up-block commute);
@@ -223,6 +225,112 @@ def bench_stage2():
     }))
 
 
+def bench_cascade():
+    """End-to-end stage1+stage2 serving on ONE chip (BENCH_CASCADE=1): the full
+    EMOPortraits quality path (drive -> enhancer, reference notebooks/infer_s2.py:
+    352-390). Measures BOTH dispatch strategies and reports the fused one as the
+    headline:
+
+      * fused: one jit program computing enhance(drive(...)) — XLA overlaps the
+        stage-1 tail with the stage-2 head and saves a dispatch + HBM round-trip;
+      * sequential: two separate jit calls (what a naive port would do).
+
+    The 2-chip CascadePipeline (parallel/serve.py) pipelines source-encode ahead;
+    its steady-state fps ~= enhancer-only fps per chip, but it needs 2 real chips —
+    not measurable on this 1-chip host, so it is correctness-tested only."""
+    from emoportraits_tpu.config import ExperimentConfig
+    from emoportraits_tpu.models.stage1 import VolumetricAvatar
+    from emoportraits_tpu.models.stage2 import Stage2Enhancer
+
+    mode = os.environ.get("BENCH_MODE", "fused_bf16")
+    cfg = ExperimentConfig()
+    if "fused" in mode:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fuse_warps=True))
+    bf16 = "bf16" in mode
+    b = int(os.environ.get("BENCH_BATCH", "1"))
+    s = cfg.train.image_size
+    model = VolumetricAvatar(cfg.model)
+    enh = Stage2Enhancer(cfg.stage2)
+    dt_ = jnp.bfloat16 if bf16 else jnp.float32
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(jax.devices("cpu")[0]):
+        z = jnp.zeros((b, s, s, 3), jnp.float32)
+        m1 = jnp.ones((b, s, s, 1), jnp.float32)
+        th = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        variables = fast_random_variables(model.init, key, z, m1, z, th, th)
+        s2 = cfg.stage2.image_size
+        s2_vars = fast_random_variables(
+            enh.init, key, jnp.zeros((b, s2, s2, 3), jnp.float32),
+            jnp.ones((b, s2, s2, 1), jnp.float32))
+    if bf16:
+        cast = lambda x: x.astype(dt_) if x.dtype == jnp.float32 else x
+        variables = jax.tree.map(cast, variables)
+        s2_vars = jax.tree.map(cast, s2_vars)
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.random((b, s, s, 3), np.float32), dt_)
+    mask = jnp.ones((b, s, s, 1), dt_)
+    drv = jnp.asarray(rng.random((b, s, s, 3), np.float32), dt_)
+    theta = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    variables, s2_vars, src, mask, drv, theta = jax.device_put(
+        (variables, s2_vars, src, mask, drv, theta), dev)
+
+    enc = jax.jit(lambda v, s_, m_, t_: model.apply(v, s_, m_, t_,
+                                                    method=model.encode_source))
+    state = enc(variables, src, mask, theta)
+    jax.block_until_ready(state)
+
+    def _drive(v, st, d, t):
+        return model.apply(v, st, d, t, method=model.drive)[0]
+
+    def _cascade(v, v2, st, d, t, m_):
+        img = _drive(v, st, d, t)
+        if img.shape[1] != s2:
+            img = jax.image.resize(img, (b, s2, s2, 3), "bilinear")
+            m_ = jax.image.resize(m_, (b, s2, s2, 1), "bilinear")
+        return enh.apply(v2, img.astype(dt_), m_.astype(dt_))
+
+    fused = jax.jit(_cascade)
+    drv_fn = jax.jit(_drive)
+    enh_fn = jax.jit(lambda v2, img, m_: enh.apply(v2, img, m_))
+
+    # warm both strategies (fresh plain-jit compiles; see bench_stage2 relay note)
+    out = fused(variables, s2_vars, state, drv, theta, mask)
+    float(out.sum())
+    img1 = drv_fn(variables, state, drv, theta)
+    out2 = enh_fn(s2_vars, img1.astype(dt_), mask)
+    float(out2.sum())
+
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fused(variables, s2_vars, state, drv, theta, mask)
+    float(out.sum())
+    dt_fused = (time.perf_counter() - t0) / n
+
+    t0 = time.perf_counter()
+    for _ in range(n):
+        img1 = drv_fn(variables, state, drv, theta)
+        out2 = enh_fn(s2_vars, img1.astype(dt_), mask)
+    float(out2.sum())
+    dt_seq = (time.perf_counter() - t0) / n
+
+    flops = _cost_flops(
+        fused.lower(variables, s2_vars, state, drv, theta, mask).compile())
+    peak = PEAK_FLOPS["bf16" if bf16 else "f32"]
+    print(json.dumps({
+        "metric": "cascade_s1s2_fps_512px_per_chip",
+        "value": round(b / dt_fused, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(b / dt_fused / 30.0, 3),
+        "ms_per_frame": round(dt_fused * 1e3 / b, 2),
+        "sequential_fps": round(b / dt_seq, 2),
+        "step_tflops": round(flops / 1e12, 3),
+        "mfu": round(flops / dt_fused / peak, 4),
+    }))
+
+
 def bench_wrapper():
     """End-user serving path (BENCH_WRAPPER=1): InferenceWrapper.forward_frame on
     uint8 frames — the fused one-dispatch program (pose estimate + momentum + drive
@@ -277,6 +385,8 @@ def main():
         return bench_train()
     if os.environ.get("BENCH_STAGE2"):
         return bench_stage2()
+    if os.environ.get("BENCH_CASCADE"):
+        return bench_cascade()
     if os.environ.get("BENCH_WRAPPER"):
         return bench_wrapper()
 

@@ -108,9 +108,14 @@ class Trainer:
         self._gen_apply = jax.jit(gen_apply)  # also drives the debug-visuals grid
         dis_apply = lambda variables, img: self.dis.apply(variables, img)
 
-        # global batch = per-device batch x all devices; each host's stream yields
-        # global_b / process_count samples (shard_batch assembles the global array)
-        global_b = b * jax.local_device_count() * jax.process_count()
+        # global batch = per-device batch x MESH devices (cfg.parallel.num_devices
+        # can pin a mesh smaller than the host's device count — the state's
+        # ring buffers must be sized for the batches that mesh actually sees);
+        # each host's stream yields global_b / process_count samples
+        # (shard_batch assembles the global array)
+        n_mesh = (cfg.parallel.num_devices if cfg.parallel.num_devices > 1
+                  else jax.local_device_count())
+        global_b = b * n_mesh * jax.process_count()
         self.state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=global_b,
                                        dis2_variables=dis2_vars, sg_variables=sg_vars)
         step = make_train_step(
