@@ -105,6 +105,24 @@ def bench_train():
         # jax.checkpoint around the frozen loss towers (train/step.py remat_towers)
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, remat_towers=True))
+    if os.environ.get("BENCH_GN_BF16"):
+        # GroupNorm elementwise math in bf16 with f32 reduction accumulators —
+        # kills the multi-hundred-MB f32 GN backward temps (the batch-2 OOM)
+        from emoportraits_tpu.ops.blocks import set_gn_lowp_stats
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, bf16_gn_stats=True))
+        set_gn_lowp_stats(True)
+    if os.environ.get("BENCH_MU_BF16"):
+        # Adam first moment in bf16 (optax mu_dtype) — 322 MB on the generator
+        # (+12 MB on the discriminator)
+        cfg = dataclasses.replace(
+            cfg,
+            gen_opt=dataclasses.replace(cfg.gen_opt, mu_bf16=True),
+            dis_opt=dataclasses.replace(cfg.dis_opt, mu_bf16=True))
+    if os.environ.get("BENCH_NU_BF16"):
+        # Adam second moment persisted bf16 (f32 update math) — another 322 MB
+        cfg = dataclasses.replace(cfg, gen_opt=dataclasses.replace(
+            cfg.gen_opt, nu_bf16=True))
     b, s = int(os.environ.get("BENCH_BATCH", "1")), cfg.train.image_size
     key = jax.random.PRNGKey(0)
     model = VolumetricAvatar(cfg.model)
@@ -171,6 +189,12 @@ def bench_train():
         "samples_per_s": round(b / dt, 3),
         "batch": b,
         "remat": bool(os.environ.get("BENCH_REMAT")),
+        "remat_policy": os.environ.get("BENCH_REMAT_POLICY", ""),
+        "bf16_towers": bool(os.environ.get("BENCH_BF16_TOWERS")),
+        "remat_towers": bool(os.environ.get("BENCH_REMAT_TOWERS")),
+        "gn_bf16_stats": bool(os.environ.get("BENCH_GN_BF16")),
+        "adam_mu_bf16": bool(os.environ.get("BENCH_MU_BF16")),
+        "adam_nu_bf16": bool(os.environ.get("BENCH_NU_BF16")),
         "step_tflops": round(flops / 1e12, 2),
         "mfu": round(flops / dt / peak, 4),
     }))
@@ -216,6 +240,7 @@ def bench_stage2():
     peak = PEAK_FLOPS["bf16" if bf16 else "f32"]
     print(json.dumps({
         "metric": "stage2_enhance_fps_512px_per_chip",
+        **({"gn_bf16_stats": True} if os.environ.get("BENCH_GN_BF16") else {}),
         "value": round(b / dt_s, 2),
         "unit": "frames/s",
         "vs_baseline": round(b / dt_s / 30.0, 3),
@@ -321,6 +346,7 @@ def bench_cascade():
     peak = PEAK_FLOPS["bf16" if bf16 else "f32"]
     print(json.dumps({
         "metric": "cascade_s1s2_fps_512px_per_chip",
+        **({"gn_bf16_stats": True} if os.environ.get("BENCH_GN_BF16") else {}),
         "value": round(b / dt_fused, 2),
         "unit": "frames/s",
         "vs_baseline": round(b / dt_fused / 30.0, 3),
@@ -380,6 +406,14 @@ def bench_wrapper():
 def main():
     from emoportraits_tpu.config import ExperimentConfig
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
+
+    if os.environ.get("BENCH_GN_BF16") and not os.environ.get("BENCH_TRAIN"):
+        # serving modes (drive/stage2/cascade/wrapper): forward-only GN in bf16
+        # with f32 accumulators — no backward here, so the custom-VJP/remat
+        # conflict that keeps this off in training doesn't apply. Must be set
+        # before any jit traces GroupNorm (trace-time global).
+        from emoportraits_tpu.ops.blocks import set_gn_lowp_stats
+        set_gn_lowp_stats(True)
 
     if os.environ.get("BENCH_TRAIN"):
         return bench_train()
@@ -468,6 +502,8 @@ def main():
         "step_tflops": round(flops / 1e12, 3),
         "mfu": round(flops / dt / peak, 4),
     }
+    if os.environ.get("BENCH_GN_BF16"):
+        record["gn_bf16_stats"] = True
     if "int8" in os.environ.get("BENCH_MODE", ""):
         # quality bound for the quantized decoder: PSNR of the int8 drive output
         # vs the same weights served in bf16 on the same fixed frames (quant error

@@ -290,6 +290,15 @@ class OptimizerConfig:
     eps: float = 1e-8
     shd_max_iters: int = 400_000
     shd_lr_min: float = 1e-6
+    # store the Adam FIRST moment in bf16 (optax mu_dtype) — a 322 MB HBM knob
+    # on the 0.64 GB generator at batch-2 512px; the variance (nu) and params
+    # stay f32. Off = exact torch-Adam moment precision.
+    mu_bf16: bool = False
+    # store the SECOND moment in bf16 too (train/state.py _scale_by_adam_nu_bf16:
+    # fused elementwise casts inside the moment update — a tree-level cast
+    # wrapper measured WORSE than f32 nu). Update math runs in f32; only the
+    # persistent buffer is bf16. ~0.4% step-size noise per param.
+    nu_bf16: bool = False
 
 
 @dataclass(frozen=True)
@@ -395,6 +404,11 @@ class TrainConfig:
     # activations in the backward instead of storing them (train/step.py
     # remat_towers). Pairs with ModelConfig.remat for large-batch 512px training.
     remat_towers: bool = False
+    # GroupNorm elementwise math in the activation dtype with fp32 reduction
+    # accumulators (ops/blocks.py set_gn_lowp_stats) — the batch-2 512px memory
+    # knob: the default fp32 GN holds multi-hundred-MB fp32 backward temps per
+    # encoder block. Only affects bf16 activations; off = torch f32 semantics.
+    bf16_gn_stats: bool = False
     # EMA of generator params for serving (0 = off; utils/ema.py, updated in-step)
     ema_decay: float = 0.0
 

@@ -41,6 +41,14 @@ class Decoder(nn.Module):
     cfg: DecoderConfig
     use_ws: bool = True
     use_sn: bool = True
+    # per-RES-BLOCK rematerialization (stage1 sets this under ModelConfig.remat).
+    # Granularity matters here even more than in the encoder: as ONE nn.remat
+    # region the decoder's backward replays all 12 image blocks before the
+    # reverse sweep — measured at batch-2 512px the img_4/img_5 f32 GN backward
+    # temps (6-10 x 260 MB, the largest allocations in the OOM dump) stay live
+    # simultaneously. Per-block regions replay one block at a time.
+    remat_blocks: bool = False
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, feat_2d: jax.Array, embed: Optional[jax.Array] = None,
@@ -52,6 +60,12 @@ class Decoder(nn.Module):
         num_up, shared_ch, img_chans = _img_channels(c)
         sn = dict(use_ws=self.use_ws, use_sn=self.use_sn)
         norm = ("ada_" + c.norm) if c.use_adanorm else c.norm
+        Res_ = ResBlock
+        if self.remat_blocks:
+            kw = {}
+            if self.remat_policy == "dots":
+                kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            Res_ = nn.remat(ResBlock, **kw)
 
         mods = None
         if c.use_adanorm:
@@ -76,8 +90,8 @@ class Decoder(nn.Module):
         for i in range(c.num_blocks):
             blk_mods = mods[mi:mi + 2] if mods is not None else None
             mi += 2
-            x = ResBlock(shared_ch, shared_ch, norm=norm, activation=c.activation,
-                         quant=c.serve_int8, name=f"res_{i}", **sn)(x, mods=blk_mods)
+            x = Res_(shared_ch, shared_ch, norm=norm, activation=c.activation,
+                     quant=c.serve_int8, name=f"res_{i}", **sn)(x, mods=blk_mods)
 
         # ---- image decoder (reference ImageDecoder, decoder.py:240-411) ----
         in_ch = shared_ch
@@ -86,11 +100,11 @@ class Decoder(nn.Module):
             for k in range(c.num_lrs_per_resolution):
                 blk_mods = mods[mi:mi + 2] if mods is not None else None
                 mi += 2
-                x = ResBlock(in_ch, ch, norm=norm, activation=c.activation,
-                             stride=2 if k == 0 else 1,
-                             resize="nearest" if k == 0 else "none",
-                             quant=c.serve_int8,
-                             name=f"img_{bi}", **sn)(x, mods=blk_mods)
+                x = Res_(in_ch, ch, norm=norm, activation=c.activation,
+                         stride=2 if k == 0 else 1,
+                         resize="nearest" if k == 0 else "none",
+                         quant=c.serve_int8,
+                         name=f"img_{bi}", **sn)(x, mods=blk_mods)
                 in_ch = ch
                 bi += 1
         img_f = x

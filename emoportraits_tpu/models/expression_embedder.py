@@ -155,7 +155,7 @@ class ExpressionEmbed(nn.Module):
     use_sn: bool = False
 
     @nn.compact
-    def __call__(self, aligned_face: jax.Array, *,
+    def __call__(self, aligned_face: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         """aligned_face: (B, gs, gs, 3) aligned crop. Returns (B, expression_dim)."""
         c = self.cfg

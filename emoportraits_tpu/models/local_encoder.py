@@ -26,6 +26,13 @@ class LocalEncoder(nn.Module):
     vol: VolumeConfig
     use_ws: bool = True
     use_sn: bool = True
+    # per-RES-BLOCK rematerialization (stage1 sets this under ModelConfig.remat).
+    # Granularity matters: one whole-encoder jax.checkpoint region measured WORSE
+    # at batch-2 512px — its backward replays every block before the reverse
+    # sweep, holding all blocks' recomputed activations (4 x 520 MB f32 GN temps
+    # of enc_0) live at once. Per-block regions replay one block at a time.
+    remat_blocks: bool = False
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -35,6 +42,12 @@ class LocalEncoder(nn.Module):
         ratio = c.input_image_size // v.size
         num_blocks = int(math.log2(ratio))
         sn = dict(use_ws=self.use_ws, use_sn=self.use_sn)
+        Res_ = ResBlock
+        if self.remat_blocks:
+            kw = {}
+            if self.remat_policy == "dots":
+                kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            Res_ = nn.remat(ResBlock, **kw)
 
         out_ch = int(c.num_channels * c.channel_mult)
         # from_rgb sits at child index 0 -> never WS-converted (utils.py:1071-1077): SN only
@@ -42,8 +55,8 @@ class LocalEncoder(nn.Module):
         for i in range(num_blocks):
             in_ch = out_ch
             out_ch = min(out_ch * 2, c.max_channels)
-            x = ResBlock(in_ch, out_ch, stride=2, norm=c.norm, activation=c.activation,
-                         resize="avgpool", name=f"enc_{i}", **sn)(x)
+            x = Res_(in_ch, out_ch, stride=2, norm=c.norm, activation=c.activation,
+                     resize="avgpool", name=f"enc_{i}", **sn)(x)
         if c.block_type == "res":
             x = GroupNorm(out_ch, name="final_norm")(x)
             x = activation_fn(c.activation)(x)

@@ -15,6 +15,7 @@ them as non-trainable attributes, va.py:255-279); thetas and masks enter as inpu
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -65,20 +66,40 @@ class VolumetricAvatar(nn.Module):
             if m.remat_policy not in ("", "dots"):
                 raise ValueError(f"remat_policy={m.remat_policy!r}: expected '' "
                                  "(full recompute) or 'dots'")
-            kw = {}
-            if m.remat_policy == "dots":
-                kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            LocalEncoder_ = nn.remat(LocalEncoder, **kw)
-            Unet3D_ = nn.remat(Unet3D, **kw)
-            # static_argnums counts __call__ args INCLUDING self (flax shifts it
-            # internally); the flag must be passed POSITIONALLY at call sites —
-            # jax.checkpoint only statics positional args, keywords stay traced
-            Decoder_ = nn.remat(Decoder, static_argnums=(3,), **kw)
+            # LocalEncoder remats PER RES-BLOCK (its own `remat` attr), not as
+            # one whole-module region: measured at batch-2 512px, the whole-
+            # encoder checkpoint's backward replay kept four 520 MB f32 GN
+            # temps of enc_0 live simultaneously (the OOM driver) — per-block
+            # regions replay one block at a time.
+            LocalEncoder_ = functools.partial(LocalEncoder, remat_blocks=True,
+                                              remat_policy=m.remat_policy)
+            # Unet3D remats PER RES-BLOCK: as one region its backward replay
+            # held ~8 simultaneous 288 MB f32 GN temps (down_0/skip_2/up_2 all
+            # live at once — the next OOM driver after the decoder fix).
+            Unet3D_ = functools.partial(Unet3D, remat_blocks=True,
+                                        remat_policy=m.remat_policy)
+            # Decoder remats PER RES-BLOCK too: as one nn.remat region its
+            # backward replay held 6-10 simultaneous 260 MB f32 GN temps of the
+            # 512px img blocks — the largest allocations in the batch-2 OOM
+            # dump (16.33G, 596 MB over). Per-block regions bound that to one
+            # block's temps at a time.
+            Decoder_ = functools.partial(Decoder, remat_blocks=True,
+                                         remat_policy=m.remat_policy)
         else:
             LocalEncoder_, Unet3D_, Decoder_ = LocalEncoder, Unet3D, Decoder
+        # NOT rematted: the idt/expression embedder trunks. Measured at batch-2
+        # 512px: wrapping them in nn.remat RAISED program HBM 15.76G -> 16.97G
+        # with 3.5G of layout padding — XLA's pressure-driven layout/remat
+        # resettling dominates any activation saving from these 256px trunks.
+        IdtEmbed_, ExpressionEmbed_ = IdtEmbed, ExpressionEmbed
+        # NOT rematted: warp generators + VPN res-blocks. Measured on v5e at
+        # batch-2 512px: adding remat there RAISED program HBM 15.76G -> 16.22G
+        # (+484 MB) — their activations are small 3D tensors, and checkpointing
+        # them forces the big pre-warp volumes to stay live for the recompute.
+        WarpGenerator_, VPNResBlocks_ = WarpGenerator, VPNResBlocks
         self.local_encoder_nw = LocalEncoder_(m.local_encoder, m.volume, **sn)
-        self.idt_embedder_nw = IdtEmbed(m.idt_embedder, **sn)
-        self.expression_embedder_nw = ExpressionEmbed(m.expression_embedder, **sn)
+        self.idt_embedder_nw = IdtEmbed_(m.idt_embedder, **sn)
+        self.expression_embedder_nw = ExpressionEmbed_(m.expression_embedder, **sn)
         # Linear 128 -> 512*E^2 lifting the expression vec to a spatial embed
         # (va.py:172-176; pose_unsqueeze_nw is NOT in spn_networks -> no SN)
         self.pose_unsqueeze_nw = Dense(
@@ -86,17 +107,17 @@ class VolumetricAvatar(nn.Module):
         # 1x1 conv fusing (pose + idt)/2 (va.py:179-184; in spn_networks -> SN)
         self.warp_embed_head_orig_nw = Conv(m.max_channels, (1, 1), use_bias=False,
                                             use_sn=m.use_sn)
-        self.xy_generator_nw = WarpGenerator(m.warp_generator, **sn)
-        self.uv_generator_nw = WarpGenerator(m.warp_generator, **sn)
+        self.xy_generator_nw = WarpGenerator_(m.warp_generator, **sn)
+        self.uv_generator_nw = WarpGenerator_(m.warp_generator, **sn)
         if m.source_volume_num_blocks > 0:
             # unet_first (va.py:194-200): volume_source becomes a secondary U-Net
             # (unet3d_cfg_s) that runs AFTER the source warps; default is VPN
             # res-blocks BEFORE them
             self.volume_source_nw = (Unet3D_(m.unet3d_s, **sn) if m.unet_first
-                                     else VPNResBlocks(m.vpn_source, **sn))
+                                     else VPNResBlocks_(m.vpn_source, **sn))
         self.volume_process_nw = Unet3D_(m.unet3d, **sn)
         if m.pred_volume_num_blocks > 0:
-            self.volume_pred_nw = VPNResBlocks(m.vpn_source, **sn)
+            self.volume_pred_nw = VPNResBlocks_(m.vpn_source, **sn)
         self.decoder_nw = Decoder_(m.decoder, **sn)
         if m.volume_rendering:
             # EG3D-role importance renderer replacing the C-major collapse on the
@@ -152,7 +173,9 @@ class VolumetricAvatar(nn.Module):
         expression_embedder.py:227-251)."""
         gs = self.cfg.expression_embedder.image_size // 2
         crop = align_face_crop(img, jax.lax.stop_gradient(theta), gs)
-        return self.expression_embedder_nw(crop, deterministic=deterministic)
+        # positional: under nn.remat, deterministic is static_argnums=(2,) and
+        # jax.checkpoint only treats POSITIONAL args as static
+        return self.expression_embedder_nw(crop, deterministic)
 
     def fuse_embed(self, pose_embed: jax.Array, idt_embed: jax.Array) -> jax.Array:
         """(pose + idt)/2 -> 1x1 conv, as a (B, E, E, 512) spatial embed
@@ -300,7 +323,7 @@ class VolumetricAvatar(nn.Module):
                      self.cfg.expression_embedder.image_size // 2,
                      self.cfg.expression_embedder.image_size // 2, 3),
                     method="linear"),
-                deterministic=True)
+                True)  # deterministic, positional (remat static_argnums)
 
         if mixing_theta is not None:
             # Mixing branch: rolled expression drives the canonical volume under a

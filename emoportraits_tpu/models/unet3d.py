@@ -28,6 +28,13 @@ class Unet3D(nn.Module):
     cfg: Unet3DConfig
     use_ws: bool = True
     use_sn: bool = True
+    # per-RES-BLOCK rematerialization (stage1 sets this under ModelConfig.remat) —
+    # same granularity lesson as LocalEncoder/Decoder: as ONE nn.remat region the
+    # U-Net's backward replay held ~8 simultaneous 288 MB f32 GN temps across
+    # down_0/skip_2/up_2 (the batch-2 512px OOM dump after the decoder fix);
+    # per-block regions bound the window to one block.
+    remat_blocks: bool = False
+    remat_policy: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -35,6 +42,12 @@ class Unet3D(nn.Module):
         c = self.cfg
         num_blocks = int(math.log2(c.size // c.dummy_input_size))
         sn = dict(use_ws=self.use_ws, use_sn=self.use_sn)
+        Res_ = ResBlock
+        if self.remat_blocks:
+            kw = {}
+            if self.remat_policy == "dots":
+                kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            Res_ = nn.remat(ResBlock, **kw)
 
         # ---- down path ----
         out_ch = c.channels
@@ -48,8 +61,8 @@ class Unet3D(nn.Module):
                 depth_new = min(depth * 2, new_spatial)
                 if depth_new > depth:
                     x = resize_trilinear(x, (2, 1, 1))
-            x = ResBlock(in_ch, out_ch, ndim=3, norm=c.norm, activation=c.activation,
-                         name=f"down_{i}", **sn)(x)
+            x = Res_(in_ch, out_ch, ndim=3, norm=c.norm, activation=c.activation,
+                     name=f"down_{i}", **sn)(x)
             feats.append(x)
             if i < num_blocks - 1:
                 if depth_new < depth:
@@ -79,10 +92,10 @@ class Unet3D(nn.Module):
                 y = resize_trilinear(y, (1, 2, 2))
             skip = feats[i - 1]
             if c.use_skip_resblock:
-                skip = ResBlock(in_ch, in_ch, ndim=3, norm=c.norm,
-                                activation=c.activation, name=f"skip_{i - 1}", **sn)(skip)
-            y = ResBlock(in_ch, out_ch, ndim=3, norm=c.norm, activation=c.activation,
-                         name=f"up_{i - 1}", **sn)(y + skip)
+                skip = Res_(in_ch, in_ch, ndim=3, norm=c.norm,
+                            activation=c.activation, name=f"skip_{i - 1}", **sn)(skip)
+            y = Res_(in_ch, out_ch, ndim=3, norm=c.norm, activation=c.activation,
+                     name=f"up_{i - 1}", **sn)(y + skip)
             if depth_new < depth and depth_new < y.shape[1]:
                 y = avg_pool(y, (y.shape[1] // depth_new, 1, 1))
             depth = depth_new

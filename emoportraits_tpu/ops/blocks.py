@@ -283,9 +283,94 @@ class Dense(nn.Module):
         return y
 
 
+# Opt-in GroupNorm memory knob (cfg.train.bf16_gn_stats / BENCH_GN_BF16): keep the
+# ELEMENTWISE GN math in the activation dtype and use fp32 only inside reduction
+# accumulators. The default f32 path materializes fp32 copies of every normalized
+# activation in the BACKWARD pass — at 512px batch 2 the encoder's first block
+# alone holds 4 x 520 MB fp32 HLO temps (measured; the batch-2 OOM driver). A
+# trace-time global rather than a threaded module attribute: GroupNorm is
+# constructed in ~40 places via the block factory and the knob must not change
+# any module pytree.
+_GN_LOWP_STATS = False
+
+
+def set_gn_lowp_stats(enable: bool) -> None:
+    global _GN_LOWP_STATS
+    _GN_LOWP_STATS = bool(enable)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gn_lowp(xg: jax.Array, scale: jax.Array, bias: jax.Array,
+             stat_axes: tuple, eps: float) -> jax.Array:
+    """Fused low-precision GroupNorm on grouped input (B, *spatial, g, c/g):
+    every full-size tensor stays in xg.dtype (bf16); only the keepdims-reduced
+    statistics are fp32 (jnp reductions with dtype=f32 lower to a convert fused
+    into the reduce — f32 ACCUMULATION with no f32 materialization). The custom
+    VJP exists because plain AD would (a) transpose the f32 upcast into full-size
+    f32 temps and (b) accumulate the affine param grads in bf16 — measured 12%
+    error on the scale grad at a 512-element reduce."""
+    y, _, _ = _gn_lowp_fwd_impl(xg, scale, bias, stat_axes, eps)
+    return y
+
+
+def _gn_lowp_fwd_impl(xg, scale, bias, stat_axes, eps):
+    """Numerics: subtracting a bf16-rounded mean leaves a COHERENT per-group DC
+    residual r = mean - bf16(mean) in every element — summed over 512x512 pixels
+    it dominated d_bias (measured ~10x the input-quantization floor). The exact
+    residual is therefore folded into an f32 effective bias, and rstd*scale is
+    pre-multiplied in f32, so the only bf16 scalar roundings attach to (a) the
+    zero-mean `centered` factor (cancels in DC sums) and (b) a near-zero
+    effective bias (absolute error ~0.4% of ~0)."""
+    mean = jnp.mean(xg, axis=stat_axes, keepdims=True, dtype=jnp.float32)
+    mean_b = mean.astype(xg.dtype)
+    centered = xg - mean_b                      # bf16; zero-mean up to r
+    var = jnp.mean(jnp.square(centered), axis=stat_axes, keepdims=True,
+                   dtype=jnp.float32)
+    rstd = jax.lax.rsqrt(var + eps)             # f32, (B, 1.., g, 1)
+    r = mean - mean_b.astype(jnp.float32)       # exact residual DC, f32
+    eff_scale = rstd * scale                    # f32 small (B, 1.., g, c/g)
+    eff_bias = bias - r * eff_scale             # f32 small
+    y = centered * eff_scale.astype(xg.dtype) + eff_bias.astype(xg.dtype)
+    return y, centered, rstd
+
+
+def _gn_lowp_fwd(xg, scale, bias, stat_axes, eps):
+    y, centered, rstd = _gn_lowp_fwd_impl(xg, scale, bias, stat_axes, eps)
+    return y, (centered, rstd, scale)
+
+
+def _gn_lowp_bwd(stat_axes, eps, res, gy):
+    centered, rstd, scale = res
+    xn = centered * rstd.astype(centered.dtype)
+    # param grads: reduce over every non-(g, c/g) axis with an f32 accumulator.
+    # d_scale multiplies by the F32 rstd after the spatial reduce — folding a
+    # bf16-rounded rstd into xn first puts a coherent 0.4% scale error on the
+    # whole same-sign sum (measured 7x the quantization floor)
+    p_axes = tuple(i for i in range(xn.ndim - 2))
+    sp_axes = tuple(a for a in stat_axes if a != xn.ndim - 1)
+    s1 = jnp.sum(gy * centered, axis=sp_axes, keepdims=True, dtype=jnp.float32)
+    d_scale = jnp.sum(s1 * rstd, axis=0).reshape(scale.shape)
+    d_bias = jnp.sum(gy, axis=p_axes, dtype=jnp.float32)
+    # normalization backward (per-group): dx = rstd*(gh - E[gh] - xn*E[gh*xn])
+    gh = gy * scale.astype(gy.dtype)
+    gmean = jnp.mean(gh, axis=stat_axes, keepdims=True, dtype=jnp.float32)
+    gxmean = jnp.mean(gh * xn, axis=stat_axes, keepdims=True, dtype=jnp.float32)
+    dx = rstd.astype(gy.dtype) * (
+        gh - gmean.astype(gy.dtype) - xn * gxmean.astype(gy.dtype))
+    return dx, d_scale.astype(scale.dtype), d_bias.astype(scale.dtype)
+
+
+_gn_lowp.defvjp(_gn_lowp_fwd, _gn_lowp_bwd)
+
+
 class GroupNorm(nn.Module):
     """GroupNorm(32) — the production norm (reference utils.py:953; prod norm_layer_type gn).
-    Stats in fp32 regardless of activation dtype."""
+    Stats in fp32 regardless of activation dtype (torch semantics); under
+    `set_gn_lowp_stats(True)` bf16 activations stay bf16 elementwise with fp32
+    reduction accumulators (two-pass variance, no cancellation)."""
     channels: int
     groups: int = 32
     eps: float = 1e-5
@@ -295,16 +380,45 @@ class GroupNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         g = _num_groups(self.channels, self.groups)
         orig_dtype = x.dtype
-        xs = x.astype(jnp.float32)
-        shape = xs.shape
-        xg = xs.reshape(*shape[:-1], g, shape[-1] // g)
-        axes = tuple(range(1, xs.ndim - 1)) + (xs.ndim,)
-        mean = jnp.mean(xg, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
-        xn = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
+        shape = x.shape
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (self.channels,))
             bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        else:
+            scale = jnp.ones((self.channels,), jnp.float32)
+            bias = jnp.zeros((self.channels,), jnp.float32)
+        if _GN_LOWP_STATS and orig_dtype == jnp.bfloat16:
+            xg = x.reshape(*shape[:-1], g, shape[-1] // g)
+            axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+            y = _gn_lowp(xg, scale.reshape(g, -1), bias.reshape(g, -1),
+                         axes, self.eps)
+            return y.reshape(shape)
+        # Reshape-free stats: the natural (..., g, c/g) grouped reshape puts
+        # c/g in the 128-lane minor dim — TPU layout pads it 4x (measured on
+        # the warp generators' c/g=9 GN: 144 MB held for a 36 MB tensor), and
+        # the layout-changing copy is a fusion barrier that MATERIALIZES the
+        # fp32 square/centered temps of the backward (the 260 MB allocations
+        # dominating the batch-2 512px OOM dump). Instead: per-channel spatial
+        # sums in the original channels-last layout (kInput fusions, nothing
+        # full-size materializes), then collapse channels->groups on the tiny
+        # (B, C) result. Same two-pass variance math, f32 accumulation.
+        xs = x.astype(jnp.float32)
+        cg = self.channels // g
+        sp_axes = tuple(range(1, x.ndim - 1))
+        nsp = 1
+        for d in shape[1:-1]:
+            nsp *= d
+        bshape = (shape[0],) + (1,) * len(sp_axes) + (self.channels,)
+        s1 = jnp.sum(xs, axis=sp_axes)                              # (B, C)
+        mean_g = jnp.sum(s1.reshape(shape[0], g, cg), axis=-1) / (nsp * cg)
+        mean_c = jnp.repeat(mean_g, cg, axis=-1).reshape(bshape)
+        centered = xs - mean_c
+        s2 = jnp.sum(jnp.square(centered), axis=sp_axes)            # (B, C)
+        var_g = jnp.sum(s2.reshape(shape[0], g, cg), axis=-1) / (nsp * cg)
+        rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + self.eps), cg,
+                            axis=-1).reshape(bshape)
+        xn = centered * rstd_c
+        if self.affine:
             xn = xn * scale + bias
         return xn.astype(orig_dtype)
 

@@ -19,18 +19,85 @@ from flax import struct
 from ..config import ExperimentConfig, OptimizerConfig
 
 
+def _scale_by_adam_nu_bf16(b1: float, b2: float, eps: float,
+                           mu_dtype=None) -> optax.GradientTransformation:
+    """optax.scale_by_adam with the SECOND moment persisted in bf16.
+
+    optax only exposes `mu_dtype`; a naive wrapper that tree-casts nu
+    bf16 -> f32 before `inner.update` and back after MEASURED WORSE than f32 nu
+    on the batch-2 512px step (15.88G vs 15.76G program HBM): the tree-level
+    convert materializes a full f32 copy of nu that cannot alias the donated
+    bf16 buffer. Here the casts are elementwise INSIDE the moment update, so
+    XLA fuses convert -> multiply-add -> rsqrt into one loop and the only
+    full-size buffers are the bf16 nu itself (aliasing the donated input) and
+    the unavoidable update. Update math follows optax exactly: moments and the
+    step are computed in f32 from the f32 accumulators, storage is cast last
+    — the one deviation from f32 Adam is the ~0.4%-relative rounding of the
+    PERSISTED nu between steps."""
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype is not None else None
+
+    def _store_dtype(p, want):
+        if want is not None and jnp.issubdtype(p.dtype, jnp.floating):
+            return want
+        return p.dtype
+
+    def init(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=_store_dtype(p, mu_dtype)), params)
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=_store_dtype(p, jnp.bfloat16)),
+            params)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update(grads, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - jnp.asarray(b1, jnp.float32) ** cf
+        bc2 = 1.0 - jnp.asarray(b2, jnp.float32) ** cf
+
+        def upd(g, m, n):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            n32 = b2 * n.astype(jnp.float32) + (1.0 - b2) * jnp.square(g32)
+            u = (m32 / bc1) / (jnp.sqrt(n32 / bc2) + eps)
+            return u.astype(g.dtype), m32.astype(m.dtype), n32.astype(n.dtype)
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_m = jax.tree_util.tree_leaves(state.mu)
+        flat_n = jax.tree_util.tree_leaves(state.nu)
+        out = [upd(g, m, n) for g, m, n in zip(flat_g, flat_m, flat_n)]
+        updates = treedef.unflatten([o[0] for o in out])
+        mu = treedef.unflatten([o[1] for o in out])
+        nu = treedef.unflatten([o[2] for o in out])
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     schedule = optax.cosine_decay_schedule(
         init_value=cfg.lr,
         decay_steps=cfg.shd_max_iters,
         alpha=cfg.shd_lr_min / cfg.lr,
     )
+    mu_dtype = jnp.bfloat16 if cfg.mu_bf16 else None
+    if cfg.opt_type not in ("adamw", "adam"):
+        raise ValueError(cfg.opt_type)
+    if cfg.nu_bf16:
+        # mirror optax.adam(w)'s own chain so the opt-state pytree structure
+        # (ScaleByAdamState, [EmptyState], ScaleByScheduleState) matches the
+        # f32 path for checkpointing
+        parts = [_scale_by_adam_nu_bf16(cfg.beta1, cfg.beta2, cfg.eps, mu_dtype)]
+        if cfg.opt_type == "adamw":
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        parts.append(optax.scale_by_learning_rate(schedule))
+        return optax.chain(*parts)
     if cfg.opt_type == "adamw":
         return optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
-                           weight_decay=cfg.weight_decay)
-    if cfg.opt_type == "adam":
-        return optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps)
-    raise ValueError(cfg.opt_type)
+                           weight_decay=cfg.weight_decay, mu_dtype=mu_dtype)
+    return optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+                      mu_dtype=mu_dtype)
 
 
 def make_stylegan_optimizer(train_cfg, dis_opt_cfg: OptimizerConfig

@@ -48,6 +48,11 @@ class Trainer:
                  strict_towers: bool = False,
                  canonical_keypoints: Optional["np.ndarray"] = None):
         self.cfg = cfg
+        if cfg.train.bf16_gn_stats:
+            # trace-time global (see ops/blocks.py): must be set before any
+            # jit of the model traces GroupNorm
+            from ..ops.blocks import set_gn_lowp_stats
+            set_gn_lowp_stats(True)
         self.train_stream = train_stream
         self.test_stream = test_stream
         # fixed smoke portraits spliced into the first eval batch each epoch

@@ -25,6 +25,56 @@ def test_groupnorm_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), t_out, atol=1e-5)
 
 
+def test_groupnorm_lowp_stats_knob():
+    """set_gn_lowp_stats(True): bf16 inputs keep bf16 elementwise math with f32
+    reduction accumulators — values stay within bf16 rounding of the f32-stats
+    path, grads stay finite/close, and f32 inputs are BIT-IDENTICAL (the knob
+    must not touch the torch-parity path)."""
+    from emoportraits_tpu.ops.blocks import set_gn_lowp_stats
+
+    rng = np.random.default_rng(3)
+    # non-zero mean + scale: exercises the two-pass variance (no cancellation)
+    x32 = (3.0 + 2.0 * rng.standard_normal((2, 16, 16, 64))).astype(np.float32)
+    gn = GroupNorm(64, groups=32)
+    params = gn.init(jax.random.PRNGKey(0), jnp.asarray(x32))
+
+    def loss(p, x):
+        return jnp.sum(gn.apply(p, x) ** 2)
+
+    ref32 = np.asarray(gn.apply(params, jnp.asarray(x32)))
+    xb = jnp.asarray(x32).astype(jnp.bfloat16)
+    ref_b = np.asarray(gn.apply(params, xb), np.float32)
+    # ground truth: f32 input, f32 path
+    g_true = jax.grad(loss)(params, jnp.asarray(x32))
+    # f32 path on bf16 input: the error floor set by input quantization alone
+    g_refb = jax.grad(loss)(params, xb)
+    try:
+        set_gn_lowp_stats(True)
+        jax.clear_caches()  # trace-time global: drop cached f32-stats programs
+        got32 = np.asarray(gn.apply(params, jnp.asarray(x32)))
+        np.testing.assert_array_equal(got32, ref32)
+        got_b = np.asarray(gn.apply(params, xb), np.float32)
+        np.testing.assert_allclose(got_b, ref_b, atol=0.05)
+        g_lowp = jax.grad(loss)(params, xb)
+        # fused-lowp grads may not be no-worse ELEMENTWISE than the f32-stats
+        # path (both see bf16 input rounding; near-cancelling sums like d_bias
+        # amplify it differently) — gate on error vs TRUTH being the same order
+        # as the unavoidable input-quantization error
+        for t, r, l in zip(jax.tree_util.tree_leaves(g_true),
+                           jax.tree_util.tree_leaves(g_refb),
+                           jax.tree_util.tree_leaves(g_lowp)):
+            t, r, l = (np.asarray(v, np.float32) for v in (t, r, l))
+            assert np.isfinite(l).all()
+            floor = float(np.abs(r - t).max())
+            # within 3x the unavoidable input-quantization error, or 0.5% of
+            # the leaf's gradient scale, whichever is looser
+            bound = max(3.0 * floor, 5e-3 * float(np.abs(t).max()))
+            assert float(np.abs(l - t).max()) <= bound
+    finally:
+        set_gn_lowp_stats(False)
+        jax.clear_caches()
+
+
 def test_ws_conv_matches_torch_reference_standardization():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
