@@ -160,25 +160,58 @@ def bench_train():
         # opt-in: measured no speedup on v5e (the step is not tower-matmul-bound,
         # 447.8 vs 445.8 ms/iter) — kept as a memory knob
         tp = cast_tower_params_bf16(tp)
+    # BENCH_DONATE_BATCH: donate the input batch buffers too. In the real loop
+    # every step receives a FRESH host->device transfer (train.py Prefetcher), so
+    # the previous batch's buffers are dead the moment the step launches — letting
+    # XLA alias them shaves their full footprint off peak HBM (the batch-2 fit
+    # lever; ~10 MB bf16 at 512px b=2).
+    donate = (0, 1) if os.environ.get("BENCH_DONATE_BATCH") else (0,)
     step = jax.jit(make_train_step(
         cfg, gen_apply, lambda v, img: dis.apply(v, img), towers),
-        donate_argnums=(0,))
+        donate_argnums=donate)
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
     batch = jax.device_put(batch, dev)
     tp = jax.device_put(tp, dev)
+    if os.environ.get("BENCH_MEMPROBE"):
+        # AOT compile + report XLA's memory assignment WITHOUT executing — lets
+        # the HBM-fit ladder be probed past the OOM boundary safely.
+        compiled = step.lower(state, batch, jax.random.PRNGKey(1), tp).compile()
+        ma = compiled.memory_analysis()
+        total = (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                 + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+        print(json.dumps({
+            "metric": "train_step_hbm_bytes", "value": total, "unit": "bytes",
+            "vs_baseline": round(total / (15.75 * 1024**3), 4),
+            "temp_gib": round(ma.temp_size_in_bytes / 1024**3, 3),
+            "args_gib": round(ma.argument_size_in_bytes / 1024**3, 3),
+            "alias_gib": round(ma.alias_size_in_bytes / 1024**3, 3),
+            "total_gib": round(total / 1024**3, 3),
+            "fits_v5e": bool(total <= 15.75 * 1024**3),
+            "batch": b,
+            "donate_batch": bool(os.environ.get("BENCH_DONATE_BATCH")),
+        }))
+        return
     # tower params as a runtime ARG: keeps the frozen weights out of the program.
     # Timing goes through the plain jit call path; cost analysis AFTER timing
     # (an AOT compile can poison subsequent call timing through the relay).
-    state, metrics = step(state, batch, jax.random.PRNGKey(1), tp)
-    jax.block_until_ready(metrics)
     n = 10
+    if donate == (0, 1):
+        # donated batches are consumed — pre-stage one device copy per call
+        batches = [jax.device_put(batch, dev) for _ in range(n + 2)]
+    else:
+        batches = [batch] * (n + 2)
+    state, metrics = step(state, batches[n], jax.random.PRNGKey(1), tp)
+    jax.block_until_ready(metrics)
     t0 = time.perf_counter()
     for i in range(n):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i), tp)
+        state, metrics = step(state, batches[i], jax.random.PRNGKey(i), tp)
     jax.block_until_ready(metrics)
     dt = (time.perf_counter() - t0) / n
-    flops = _cost_flops(step.lower(state, batch, jax.random.PRNGKey(1), tp).compile())
+    # cost analysis AFTER timing (lower() traces on avals — no buffers consumed;
+    # an AOT compile can poison subsequent call timing through the relay)
+    flops = _cost_flops(
+        step.lower(state, batches[n + 1], jax.random.PRNGKey(1), tp).compile())
     peak = PEAK_FLOPS["bf16" if bf16 else "f32"]
     print(json.dumps({
         "metric": "train_step_512px_per_chip",
@@ -195,6 +228,7 @@ def bench_train():
         "gn_bf16_stats": bool(os.environ.get("BENCH_GN_BF16")),
         "adam_mu_bf16": bool(os.environ.get("BENCH_MU_BF16")),
         "adam_nu_bf16": bool(os.environ.get("BENCH_NU_BF16")),
+        "donate_batch": bool(os.environ.get("BENCH_DONATE_BATCH")),
         "step_tflops": round(flops / 1e12, 2),
         "mfu": round(flops / dt / peak, 4),
     }))

@@ -1,6 +1,10 @@
-"""Verify: tiny-config full train step on the REAL TPU with the round-4 batch-2
-knobs all ON (remat dots + per-block encoder remat, GN lowp stats, Adam mu/nu
-bf16), through the public package boundary."""
+"""TPU smoke: tiny-config full train step on the REAL chip with the batch-2
+memory knobs all ON (remat dots + per-block encoder remat, GN lowp stats, Adam
+mu/nu bf16), through the public package boundary.
+
+Run: python tools/verify_train_knobs_tpu.py  (needs the TPU; ~1 min compile).
+Asserts every metric is finite and params actually move over two steps — the
+numerics gate for the knob set DESIGN.md's "train at batch 2" ladder measures."""
 import dataclasses, time
 import numpy as np
 import jax, jax.numpy as jnp
