@@ -234,6 +234,95 @@ def bench_train():
     }))
 
 
+def bench_knobs():
+    """Numerics gate for the batch-2 memory-knob stack ON THE REAL CHIP
+    (BENCH_KNOBS=1): tiny-config full train step with every knob the DESIGN.md
+    HBM-fit ladder measures turned ON simultaneously (remat dots + per-block
+    remat, GN lowp stats, Adam mu/nu bf16, bf16 activations). Asserts every
+    metric finite and params moving over two steps; prints one JSON line so the
+    driver captures the gate alongside the perf numbers (VERDICT r4 #8)."""
+    from emoportraits_tpu.config import tiny_config
+    from emoportraits_tpu.losses.perceptual import VGG19_STAGES, VGGFeatures
+    from emoportraits_tpu.models.discriminator import MultiScaleDiscriminator
+    from emoportraits_tpu.models.head_pose import HeadPoseRegressor
+    from emoportraits_tpu.models.stage1 import VolumetricAvatar
+    from emoportraits_tpu.ops.blocks import set_gn_lowp_stats
+    from emoportraits_tpu.train.forward import make_gen_apply
+    from emoportraits_tpu.train.state import TrainState
+    from emoportraits_tpu.train.step import LossTowers, make_train_step
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, remat=True, remat_policy="dots"),
+        train=dataclasses.replace(cfg.train, bf16_activations=True,
+                                  bf16_gn_stats=True),
+        gen_opt=dataclasses.replace(cfg.gen_opt, mu_bf16=True, nu_bf16=True),
+        dis_opt=dataclasses.replace(cfg.dis_opt, mu_bf16=True),
+    )
+    set_gn_lowp_stats(True)
+    key = jax.random.PRNGKey(0)
+    model = VolumetricAvatar(cfg.model)
+    dis = MultiScaleDiscriminator(cfg.model.discriminator)
+    hp = HeadPoseRegressor()
+    b, s = 2, 64
+    rng = np.random.default_rng(0)
+    batch = {
+        "source_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "target_img": jnp.asarray(rng.random((b, s, s, 3), dtype=np.float32)),
+        "source_mask": jnp.ones((b, s, s, 1)),
+        "target_mask": jnp.ones((b, s, s, 1)),
+    }
+    theta = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+    gen_vars = model.init(key, batch["source_img"], batch["source_mask"],
+                          batch["target_img"], theta, theta)
+    dis_vars = dis.init(key, batch["target_img"])
+    hp_vars = hp.init(key, batch["source_img"])
+    tower = VGGFeatures(stages=VGG19_STAGES)
+    towers = LossTowers(
+        vgg19_apply=tower.apply,
+        vgg19_params=tower.init(key, jnp.zeros((1, s, s, 3))),
+        head_pose_apply=lambda p, x, return_srt=False: hp.apply(p, x, return_srt),
+        head_pose_params=hp_vars,
+    )
+    gen_apply = make_gen_apply(cfg, model, towers.head_pose_apply, hp_vars)
+    state = TrainState.create(cfg, gen_vars, dis_vars, batch_size=b)
+    mu_bf16 = all(x.dtype == jnp.bfloat16
+                  for x in jax.tree.leaves(state.gen_opt_state[0].mu))
+    nu_bf16 = all(x.dtype == jnp.bfloat16
+                  for x in jax.tree.leaves(state.gen_opt_state[0].nu))
+    step = make_train_step(cfg, gen_apply, lambda v, img: dis.apply(v, img),
+                           towers)
+    t0 = time.perf_counter()
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state3, metrics = step(state2, batch, jax.random.PRNGKey(2))
+    jax.block_until_ready(metrics)
+    step_s = time.perf_counter() - t0
+    bad = sorted(k for k, v in metrics.items()
+                 if not np.isfinite(float(jnp.asarray(v).mean())))
+    d = jax.tree.map(
+        lambda a, b_: float(jnp.abs(a.astype(jnp.float32)
+                                    - b_.astype(jnp.float32)).max()),
+        state.gen_params, state3.gen_params)
+    max_delta = max(jax.tree.leaves(d))
+    ok = not bad and max_delta > 0 and mu_bf16 and nu_bf16
+    print(json.dumps({
+        "metric": "train_knobs_numerics_gate",
+        "value": 1 if ok else 0,
+        "unit": "pass",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "non_finite_metrics": bad,
+        "max_param_delta": max_delta,
+        "mu_bf16": mu_bf16, "nu_bf16": nu_bf16,
+        "step2_s": round(step_s, 3), "compile_s": round(compile_s, 1),
+    }))
+    if not ok:
+        raise SystemExit(1)
+
+
 def bench_stage2():
     """Stage-2 enhancer forward at 512px (BENCH_STAGE2=1): the refinement cost to add
     on top of the stage-1 drive when serving the cascade."""
@@ -449,6 +538,8 @@ def main():
         from emoportraits_tpu.ops.blocks import set_gn_lowp_stats
         set_gn_lowp_stats(True)
 
+    if os.environ.get("BENCH_KNOBS"):
+        return bench_knobs()
     if os.environ.get("BENCH_TRAIN"):
         return bench_train()
     if os.environ.get("BENCH_STAGE2"):

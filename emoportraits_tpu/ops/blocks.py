@@ -125,6 +125,16 @@ class Conv(nn.Module):
     # 1.44->1.19 ms (64px C512->384), 2.59->1.59 ms (256px C192->96),
     # 1.78->1.52 ms (256px C96->96). 2D, kernel 3x3, stride 1 only.
     fuse_nearest_up: bool = False
+    # The DOWN-direction twin: fuse a FOLLOWING avg_pool(2) into this conv.
+    # avgpool2(conv3x3(x)) == one stride-2 conv with the ones-smeared 4x4 kernel
+    # divided by 4 (linear-operator composition; exact up to fp32 reassociation):
+    #   y[i] = (c[2i] + c[2i+1])/2,  c[j] = sum_t k[t] x[j+t-1]
+    #        = sum_s k'[s] x[2i+s-1],  k'[s] = (k[s] + k[s-1])/2,  s in 0..3,
+    # so padding (1,2) per spatial dim at stride 2. 4/9 the FLOPs of the dense
+    # 3x3 at full resolution, and the full-res conv output (the pool input) is
+    # never materialized. The reference computes the dense conv then pools
+    # (utils.py ResBlock downsampling order); this is the same math.
+    fuse_avgpool_down: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -171,17 +181,25 @@ class Conv(nn.Module):
             padding = tuple((p, p) for p in padding)
 
         lhs_dilation = None
-        if self.fuse_nearest_up:
+        if self.fuse_nearest_up or self.fuse_avgpool_down:
             if (ada is not None or self.quant or ndim != 2
                     or tuple(self.kernel_size) != (3, 3)
-                    or strides != (1, 1) or dilation != (1, 1)):
-                raise ValueError("fuse_nearest_up needs a plain 2D 3x3 stride-1 conv")
+                    or strides != (1, 1) or dilation != (1, 1)
+                    or (self.fuse_nearest_up and self.fuse_avgpool_down)):
+                raise ValueError(
+                    "fuse_nearest_up/fuse_avgpool_down need a plain 2D 3x3 "
+                    "stride-1 conv (and are mutually exclusive)")
             # k (*) ones(2,2): k'[a,b] = sum_{p,q in {0,1}} k[a-p, b-q]
             kp = lambda dh, dw: jnp.pad(
                 kernel, ((dh, 1 - dh), (dw, 1 - dw), (0, 0), (0, 0)))
             kernel = kp(0, 0) + kp(0, 1) + kp(1, 0) + kp(1, 1)
-            padding = ((2, 2), (2, 2))
-            lhs_dilation = (2, 2)
+            if self.fuse_nearest_up:
+                padding = ((2, 2), (2, 2))
+                lhs_dilation = (2, 2)
+            else:
+                kernel = kernel * 0.25
+                padding = ((1, 2), (1, 2))
+                strides = (2, 2)
 
         dtype = self.dtype or x.dtype
         if ada is not None:
@@ -402,22 +420,31 @@ class GroupNorm(nn.Module):
         # sums in the original channels-last layout (kInput fusions, nothing
         # full-size materializes), then collapse channels->groups on the tiny
         # (B, C) result. Same two-pass variance math, f32 accumulation.
-        xs = x.astype(jnp.float32)
+        #
+        # No SHARED full-size f32 tensor: the round-4 batch-2 OOM dump showed
+        # the Unet3D remat replays holding five 288 MB f32 `centered` temps
+        # with 1.3x lane-padding waste (C=192 pads to 256 lanes) — a shared
+        # `xs = f32(x)` / `centered` value with two consumers (the variance
+        # reduce AND the normalize) becomes a materialization point. Each
+        # consumer below recomputes the cheap f32 upcast+subtract inside its
+        # own fusion (bit-identical f32 math, duplicate-computation cost is
+        # one subtract), so every full-size tensor in the program stays in the
+        # activation dtype.
         cg = self.channels // g
         sp_axes = tuple(range(1, x.ndim - 1))
         nsp = 1
         for d in shape[1:-1]:
             nsp *= d
         bshape = (shape[0],) + (1,) * len(sp_axes) + (self.channels,)
-        s1 = jnp.sum(xs, axis=sp_axes)                              # (B, C)
+        s1 = jnp.sum(x, axis=sp_axes, dtype=jnp.float32)            # (B, C)
         mean_g = jnp.sum(s1.reshape(shape[0], g, cg), axis=-1) / (nsp * cg)
         mean_c = jnp.repeat(mean_g, cg, axis=-1).reshape(bshape)
-        centered = xs - mean_c
-        s2 = jnp.sum(jnp.square(centered), axis=sp_axes)            # (B, C)
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32) - mean_c),
+                     axis=sp_axes)                                  # (B, C)
         var_g = jnp.sum(s2.reshape(shape[0], g, cg), axis=-1) / (nsp * cg)
         rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + self.eps), cg,
                             axis=-1).reshape(bshape)
-        xn = centered * rstd_c
+        xn = (x.astype(jnp.float32) - mean_c) * rstd_c
         if self.affine:
             xn = xn * scale + bias
         return xn.astype(orig_dtype)
@@ -634,6 +661,14 @@ class ResBlock(nn.Module):
         # up-block conv on v5e.
         fuse_up = (commute_up and self.stride == 2 and self.ndim == 2
                    and not self.quant and conv_mods is None)
+        # Down-direction twin: conv_1 feeds the avg_pool directly, so the pair
+        # composes into ONE stride-2 smeared-kernel conv (Conv.fuse_avgpool_down)
+        # — 4/9 the conv_1 FLOPs and the full-res pool input never materializes.
+        # The skip's 1x1 conv commutes exactly with the pool (per-pixel linear map
+        # of a spatial average == spatial average of the map), so it pools FIRST
+        # and projects at the low resolution: 1/4 the skip FLOPs.
+        fuse_down = (downsample and self.resize == "avgpool" and self.stride == 2
+                     and self.ndim == 2 and not self.quant and conv_mods is None)
         out = NormAct(self.in_channels, self.norm, self.activation, name="norm_act_0")(out, m0)
         if commute_up and not fuse_up:
             out = _resize_up(out, self.stride, self.resize)
@@ -641,19 +676,22 @@ class ResBlock(nn.Module):
                    fuse_nearest_up=fuse_up, **conv0_kw)(out, ada=cm(0))
         out = NormAct(self.out_channels, self.norm, self.activation, name="norm_act_1")(out, m1)
         out = Conv(self.out_channels, k, name="conv_1", quant=self.quant,
-                   adaptive_conv_type=act, **conv_kw)(out, ada=cm(1))
-        if downsample:
+                   adaptive_conv_type=act, fuse_avgpool_down=fuse_down,
+                   **conv_kw)(out, ada=cm(1))
+        if downsample and not fuse_down:
             out = _resize_down(out, self.stride, self.resize)
 
         skip = x
         if upsample and not commute_up:
             skip = _resize_up(skip, self.stride, self.resize)
+        if fuse_down:
+            skip = _resize_down(skip, self.stride, self.resize)
         if self.in_channels != self.out_channels:
             skip = Conv(self.out_channels, (1,) * self.ndim, name="skip",
                         adaptive_conv_type=act, **conv_kw)(skip, ada=cm(2))
         if commute_up:
             skip = _resize_up(skip, self.stride, self.resize)
-        if downsample:
+        if downsample and not fuse_down:
             skip = _resize_down(skip, self.stride, self.resize)
         return out + skip
 

@@ -41,6 +41,100 @@ def _load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
 
 
+def checkpoint_fingerprint(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Structural fingerprint of a checkpoint drop: key/param counts per subnet
+    prefix plus a canonical sha256 over the sorted key:shape table. Two drops
+    with the same fingerprint have byte-for-byte identical STRUCTURE (names +
+    shapes; values excluded on purpose — the fingerprint identifies the
+    artifact family, the PSNR gate identifies the values). Logged into the
+    verify report so a wrong artifact is diagnosable from the report alone.
+    Reference structure: models/stage_1/volumetric_avatar/va.py:126-279 (the
+    `*_nw` subnet construction that the released state_dict flattens)."""
+    import hashlib
+
+    lines: List[str] = []
+    n_params = 0
+    prefixes: Dict[str, List[int]] = {}
+    for k in sorted(sd):
+        shape = tuple(int(d) for d in getattr(sd[k], "shape", ()))
+        lines.append(f"{k}:{','.join(map(str, shape))}")
+        n = 1
+        for d in shape:
+            n *= d
+        n_params += n
+        e = prefixes.setdefault(k.split(".")[0], [0, 0])
+        e[0] += 1
+        e[1] += n
+    return {
+        "n_keys": len(sd),
+        "n_params": int(n_params),
+        "sha256": hashlib.sha256("\n".join(lines).encode()).hexdigest(),
+        "prefixes": {p: {"n_keys": c, "n_params": int(n)}
+                     for p, (c, n) in sorted(prefixes.items())},
+    }
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, Any]:
+    if isinstance(tree, dict):
+        out: Dict[str, Any] = {}
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+        return out
+    return {prefix[:-1]: tree}
+
+
+def validate_stage1_port(variables: Dict[str, Any], manifest: Dict[str, Any],
+                         cfg, strict: bool = False) -> Dict[str, Any]:
+    """Manifest contract: every ported leaf must exist in the model's own init
+    tree WITH the same shape (`jax.eval_shape` — no compile), so a wrong-config
+    or wrong-stage artifact fails fast with a structured report instead of
+    mid-drive with an XLA shape error. Missing leaves are reported (the
+    reference reloads with strict=False, notebooks/infer.py:110-131, so absence
+    alone is a warning unless `strict`); shape mismatches always raise."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.stage1 import VolumetricAvatar
+
+    model = VolumetricAvatar(cfg.model)
+    s = cfg.train.image_size
+    src = jax.ShapeDtypeStruct((1, s, s, 3), jnp.float32)
+    mask = jax.ShapeDtypeStruct((1, s, s, 1), jnp.float32)
+    theta = jax.ShapeDtypeStruct((1, 4, 4), jnp.float32)
+    expected = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                              src, mask, src, theta, theta)
+    exp = _flatten({k: v for k, v in expected.items() if k != "quant"})
+    got = _flatten(variables)
+
+    shape_errors = [
+        f"{p}: ported {tuple(np.shape(v))} != expected {tuple(exp[p].shape)}"
+        for p, v in got.items()
+        if p in exp and tuple(np.shape(v)) != tuple(exp[p].shape)]
+    unknown = sorted(p for p in got if p not in exp)
+    missing = sorted(p for p in exp if p not in got)
+    report = {
+        "n_matched": sum(1 for p in got
+                         if p in exp and tuple(np.shape(got[p])) == tuple(exp[p].shape)),
+        "n_expected": len(exp),
+        "shape_errors": shape_errors,
+        "unknown_target_paths": unknown,
+        "missing_target_paths_n": len(missing),
+        "unused_source_keys_n": len(manifest.get("unused_source_keys", [])),
+        "missing_source_keys_n": len(manifest.get("missing_target_keys", [])),
+    }
+    if shape_errors or unknown:
+        raise ValueError(
+            "stage-1 checkpoint violates the port contract (wrong artifact or "
+            f"wrong config): {len(shape_errors)} shape mismatches, "
+            f"{len(unknown)} unknown paths. First errors: "
+            f"{(shape_errors + unknown)[:5]}")
+    if strict and missing:
+        raise ValueError(
+            f"stage-1 checkpoint leaves {len(missing)} model leaves unported "
+            f"(strict mode). First: {missing[:5]}")
+    return report
+
+
 def _load_checkpoint(path: str, kind: str, cfg) -> Dict[str, Any]:
     """torch .pth -> ported variables; .npz -> load as saved."""
     from .cli import load_ported
@@ -56,7 +150,15 @@ def _load_checkpoint(path: str, kind: str, cfg) -> Dict[str, Any]:
         sd = sd["state_dict"]
     sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
     if kind == "stage1":
+        fp = checkpoint_fingerprint(sd)
+        print(f"stage1 drop fingerprint: {fp['n_keys']} keys, "
+              f"{fp['n_params'] / 1e6:.1f}M params, sha256 {fp['sha256'][:16]}")
         variables, manifest = port_stage1(sd, cfg.model)
+        # fail fast on a wrong artifact (shape/path contract) before the drive
+        contract = validate_stage1_port(variables, manifest, cfg)
+        print(f"port contract: {contract['n_matched']}/{contract['n_expected']} "
+              f"leaves matched, {contract['missing_target_paths_n']} missing "
+              f"(strict=False), {contract['unused_source_keys_n']} unused source keys")
     else:
         variables, manifest = port_head_pose(sd)
     n_missing = len(manifest.get("missing_target_keys", []))

@@ -287,3 +287,49 @@ def test_conv_fuse_nearest_up_exact():
     ref_ws = ws.apply(wparams, up)
     fused_ws = Conv(4, (3, 3), use_ws=True, fuse_nearest_up=True).apply(wparams, x)
     np.testing.assert_allclose(np.asarray(fused_ws), np.asarray(ref_ws), atol=2e-5)
+
+
+def test_conv_fuse_avgpool_down_exact():
+    """Conv(fuse_avgpool_down=True)(x) == avg_pool(Conv(x), 2) — the stride-2
+    smeared-kernel composition is the same math (fp32 CPU: exact to
+    reassociation). Kernel param shape is identical (smear is post-hoc), so
+    ported checkpoints are untouched."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 5), dtype=np.float32))
+    base = Conv(4, (3, 3))
+    params = base.init(jax.random.PRNGKey(0), x)
+    ref = avg_pool(base.apply(params, x), 2)
+    fused = Conv(4, (3, 3), fuse_avgpool_down=True).apply(params, x)
+    assert fused.shape == ref.shape == (2, 6, 6, 4)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+    # WS path: standardize-then-smear must match standardize-conv-then-pool
+    ws = Conv(4, (3, 3), use_ws=True)
+    wparams = ws.init(jax.random.PRNGKey(1), x)
+    ref_ws = avg_pool(ws.apply(wparams, x), 2)
+    fused_ws = Conv(4, (3, 3), use_ws=True, fuse_avgpool_down=True).apply(wparams, x)
+    np.testing.assert_allclose(np.asarray(fused_ws), np.asarray(ref_ws), atol=2e-5)
+
+
+def test_resblock_fuse_avgpool_down_exact():
+    """The downsample ResBlock (stride-2 avgpool) fuses conv_1 with the pool and
+    commutes the 1x1 skip conv past it. Invariant: with IDENTICAL params (the
+    fusion never changes param shapes), ResBlock(stride=2, resize='avgpool')
+    == avg_pool(ResBlock(stride=1), 2) — the reference composition
+    (utils.py ResBlock: convs at full res, pool after)."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 6), dtype=np.float32))
+    kw = dict(norm="gn", activation="relu", use_ws=True, use_sn=True)
+    plain = ResBlock(6, 8, stride=1, **kw)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    ref = avg_pool(plain.apply(variables, x), 2)
+    fused = ResBlock(6, 8, stride=2, resize="avgpool", **kw).apply(variables, x)
+    assert fused.shape == ref.shape == (2, 8, 8, 8)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+    # equal-channel variant: no skip conv, plain pooled identity path
+    plain_eq = ResBlock(6, 6, stride=1, **kw)
+    veq = plain_eq.init(jax.random.PRNGKey(1), x)
+    ref_eq = avg_pool(plain_eq.apply(veq, x), 2)
+    fused_eq = ResBlock(6, 6, stride=2, resize="avgpool", **kw).apply(veq, x)
+    np.testing.assert_allclose(np.asarray(fused_eq), np.asarray(ref_eq), atol=2e-5)

@@ -173,6 +173,11 @@ def _our_config():
                                     model=model, train=train)
 
 
+# populated by the `parity` fixture for the port-contract test (module-scoped so
+# the expensive reference build happens once)
+_CONTRACT: dict = {}
+
+
 @pytest.fixture(scope="module")
 def parity():
     ref_model, hp_sd, batch_t, ref_out = _reference_model_and_batch()
@@ -180,6 +185,8 @@ def parity():
     cfg = _our_config()
     our_model = VolumetricAvatar(cfg.model)
     variables, manifest = port_stage1(ref_model.state_dict(), cfg.model)
+    _CONTRACT.update(sd=ref_model.state_dict(), cfg=cfg,
+                     variables=variables, manifest=manifest)
     # the port must consume the generator cleanly: anything unused beyond known
     # non-generator attrs (buffers, frozen nets) indicates a key-mapping hole
     # normalization buffers / canonical-landmark constants are module state, not
@@ -222,6 +229,49 @@ def _t(x):
 def test_port_consumes_generator(parity):
     _ref, _ours, unused_gen = parity
     assert not unused_gen, f"porter left generator keys unused: {unused_gen[:10]}"
+
+
+def test_port_contract_and_fingerprint(parity):
+    """The manifest-checksum contract (VERDICT r4 next #6): the oracle-generated
+    reference state_dict passes `validate_stage1_port` (every ported leaf matches
+    the model's own eval_shape init tree), `checkpoint_fingerprint` identifies
+    the drop structurally, and a corrupted artifact fails FAST with a structured
+    error instead of mid-drive."""
+    from emoportraits_tpu.port.verify import (
+        checkpoint_fingerprint,
+        validate_stage1_port,
+    )
+
+    sd, cfg = _CONTRACT["sd"], _CONTRACT["cfg"]
+    variables, manifest = _CONTRACT["variables"], _CONTRACT["manifest"]
+
+    fp = checkpoint_fingerprint(sd)
+    assert fp["n_keys"] == len(sd) and fp["n_params"] > 0
+    assert {"local_encoder_nw", "decoder_nw", "volume_process_nw",
+            "xy_generator_nw", "uv_generator_nw"} <= set(fp["prefixes"])
+    # structural-only: same names+shapes with different values -> same sha256
+    sd2 = {k: np.zeros(tuple(v.shape), np.float32) for k, v in sd.items()}
+    assert checkpoint_fingerprint(sd2)["sha256"] == fp["sha256"]
+
+    report = validate_stage1_port(variables, manifest, cfg)
+    assert not report["shape_errors"]
+    assert not report["unknown_target_paths"]
+    assert report["n_matched"] > 50
+
+    # wrong-shape artifact: one truncated kernel -> ValueError naming the path
+    import copy
+
+    bad = copy.deepcopy(variables)
+    bad["params"]["decoder_nw"]["in_conv"]["kernel"] = \
+        bad["params"]["decoder_nw"]["in_conv"]["kernel"][..., :1]
+    with pytest.raises(ValueError, match="shape mismatches"):
+        validate_stage1_port(bad, manifest, cfg)
+
+    # wrong-stage artifact: an alien subnet path -> ValueError (unknown path)
+    alien = copy.deepcopy(variables)
+    alien["params"]["not_a_subnet_nw"] = {"kernel": np.zeros((1, 1), np.float32)}
+    with pytest.raises(ValueError, match="unknown paths"):
+        validate_stage1_port(alien, manifest, cfg)
 
 
 def test_thetas_match(parity):

@@ -80,6 +80,56 @@ def test_one_train_step(setup):
     assert float(jnp.abs(new_state.prev_targets).sum()) > 0
 
 
+def test_donated_state_fully_aliases(setup):
+    """Donation-coverage audit (VERDICT r4 next #7): with the production
+    `donate_argnums=(0,)` (parallel/mesh.py:113), EVERY TrainState leaf — params,
+    both Adam moment trees for both optimizers, EMA, the negatives ring, the
+    thetas pool, sn_state, counters — must appear in the compiled program's
+    input-output aliasing table. A leaf that silently falls out doubles its HBM
+    footprint at 512px (the r4 batch-2 OOM dump showed output aliasing only
+    1.56 G of 1.75 G args). Gate: aliased bytes >= the donated state's total."""
+    import re
+
+    cfg, state, step, batch = setup
+    jitted = jax.jit(step, donate_argnums=(0,))
+    compiled = jitted.lower(state, batch, jax.random.PRNGKey(1)).compile()
+    # parse the resolved aliasing table out of the optimized-HLO module header.
+    # Output indices map 1:1 onto the flattened (new_state, metrics) tuple —
+    # new_state leaves first — so index i < n_state_out IS state leaf i.
+    # (Input param numbers are NOT usable for this map: jit prunes unused args
+    # and XLA renumbers, which a first version of this test learned the hard way.)
+    header = compiled.as_text().split("\n", 1)[0]
+    m = re.search(r"input_output_alias=\{(.*?)\}, entry_computation_layout",
+                  header)
+    assert m, "no input_output_alias table in the compiled program"
+    out_aliased = {int(e) for e in
+                   re.findall(r"\{(\d+)\}:\s*\(\d+,\s*\{[\d\s,]*\}", m.group(1))}
+    out_leaves = jax.tree_util.tree_flatten_with_path(
+        jax.eval_shape(step, state, batch, jax.random.PRNGKey(1))[0])[0]
+
+    def pstr(path):
+        return "/".join(str(getattr(k, "key", getattr(k, "name", "?")))
+                        for k in path)
+
+    # every leaf >= 64 KB must alias (measured: XLA declines per-output aliasing
+    # only for tiny packed outputs — 32-128 B Adam-nu norm scales, ~58 KB total
+    # on the tiny config — which is allocation packing, not an HBM leak)
+    big_missing = [
+        (pstr(p), int(l.size * l.dtype.itemsize))
+        for i, (p, l) in enumerate(out_leaves)
+        if i not in out_aliased and l.size * l.dtype.itemsize >= 65536]
+    assert not big_missing, (
+        f"large TrainState leaves fell out of the aliasing table (each doubles "
+        f"its HBM footprint at 512px): {big_missing[:8]}")
+    # and the total non-aliased residue stays tiny
+    small_bytes = sum(int(l.size * l.dtype.itemsize)
+                      for i, (p, l) in enumerate(out_leaves)
+                      if i not in out_aliased)
+    state_bytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(state))
+    assert small_bytes <= max(262144, state_bytes // 64), (
+        f"non-aliased state residue grew to {small_bytes} bytes")
+
+
 def test_two_steps_stable(setup):
     cfg, state, step, batch = setup
     jitted = jax.jit(step)

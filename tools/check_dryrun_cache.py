@@ -12,32 +12,38 @@ loud:
   3. FAIL (exit 1) if the run created any new cache entry — the program hash
      changed since the cache was last refreshed.
 
-On failure the fix is exactly what just happened as a side effect: the new
-entry IS the refreshed cache. Prune oversized TPU bench artifacts, stage, and
-commit:
+Refresh + prune (`--prune`): runs the dryrun COLD into a fresh temp dir — the
+entries it writes are by construction exactly the live set for the current
+code — then makes `.xla_cache` hold that set and nothing else. Superseded
+`jit_train_step-*`/`jit_init-*` generations (VERDICT r4 weak #4: each stale
+refresh grew git history by 4-50 MB of dead binary) are deleted in the same
+operation, so the refresh commit is always minimal:
 
-    find .xla_cache -size +10M -delete
+    python tools/check_dryrun_cache.py --prune
     git add -A .xla_cache && git commit -m 'refresh dryrun xla cache'
 
-Run this AFTER the last commit that touches any code the train step traces.
+Run this AFTER the last commit that touches any code the train step traces,
+then run the gate (no flag) to confirm it passes warm.
 """
 from __future__ import annotations
 
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(REPO, ".xla_cache")
 
 
-def entries() -> set:
-    if not os.path.isdir(CACHE):
+def entries(path: str = CACHE) -> set:
+    if not os.path.isdir(path):
         return set()
-    return set(os.listdir(CACHE))
+    return set(os.listdir(path))
 
 
-def main() -> int:
+def check() -> int:
     sys.path.insert(0, REPO)
     import __graft_entry__ as g
 
@@ -53,12 +59,42 @@ def main() -> int:
         for n in sorted(new):
             sz = os.path.getsize(os.path.join(CACHE, n))
             print(f"  {n} ({sz / 1e6:.1f} MB)")
-        print("\nThe code changed since the cache was refreshed. Commit the new "
-              "entries (see module docstring), then re-run to confirm.")
+        print("\nThe code changed since the cache was refreshed. Run with "
+              "--prune to rebuild the cache to exactly the live set, commit, "
+              "then re-run the gate to confirm.")
         return 1
     print(f"cache OK: dryrun warm in {dt:.1f}s, no new entries")
     return 0
 
 
+def prune() -> int:
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    tmp = tempfile.mkdtemp(prefix="xla_cache_live_")
+    os.environ["EMOPORTRAITS_XLA_CACHE_DIR"] = tmp
+    try:
+        t0 = time.time()
+        g.dryrun_multichip(8)  # cold: writes exactly the live entry set
+        live = entries(tmp)
+        print(f"cold dryrun {time.time() - t0:.1f}s -> {len(live)} live entries")
+        old = entries()
+        os.makedirs(CACHE, exist_ok=True)
+        for n in sorted(old - live):
+            os.remove(os.path.join(CACHE, n))
+            print(f"  pruned dead entry {n}")
+        for n in sorted(live):
+            shutil.copy2(os.path.join(tmp, n), os.path.join(CACHE, n))
+        kept = entries()
+        assert kept == live, (kept, live)
+        total = sum(os.path.getsize(os.path.join(CACHE, n)) for n in kept)
+        print(f"cache rebuilt: {len(kept)} entries, {total / 1e6:.1f} MB "
+              f"(was {len(old)}). Commit .xla_cache, then run the gate.")
+        return 0
+    finally:
+        os.environ.pop("EMOPORTRAITS_XLA_CACHE_DIR", None)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(prune() if "--prune" in sys.argv[1:] else check())
