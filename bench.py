@@ -112,6 +112,17 @@ def bench_train():
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, bf16_gn_stats=True))
         set_gn_lowp_stats(True)
+    if os.environ.get("BENCH_NO_FUSE_DOWN"):
+        # disable the avgpool-down conv fusion: under the rematted batch-2 step
+        # the fused convs cost ~1 GB of XLA overlay scratch (r5 HBM dump)
+        from emoportraits_tpu.ops.blocks import set_down_fusion
+        set_down_fusion(False)
+    if os.environ.get("BENCH_GN_PACK"):
+        # lane-packed GroupNorm: (..., W, C) -> (..., W*C) around the GN
+        # elementwise math so C=32/96/192 temps stop padding 1.3-4x on the
+        # 128-lane tile (the dominant HLO temps in the r5 batch-2 dump)
+        from emoportraits_tpu.ops.blocks import set_gn_lane_pack
+        set_gn_lane_pack(True)
     if os.environ.get("BENCH_MU_BF16"):
         # Adam first moment in bf16 (optax mu_dtype) — 322 MB on the generator
         # (+12 MB on the discriminator)

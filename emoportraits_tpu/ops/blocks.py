@@ -317,6 +317,121 @@ def set_gn_lowp_stats(enable: bool) -> None:
     _GN_LOWP_STATS = bool(enable)
 
 
+# Trace-time switch for LANE-PACKED GroupNorm: TPU tiles the minor dim into
+# 128 lanes, so channels-last tensors with C not a multiple of 128 pad every
+# full-size GN temp (r5 batch-2 HBM dump: C=192 pads to 256 lanes -> five
+# 288 MB f32 temps at 1.3x, and the warp generators' C=32 GN mul held 144 MB
+# for a 36 MB tensor at 4.0x). Packing reshapes (..., W, C) -> (..., W*C)
+# around the GN elementwise math — W*C is a multiple of 128 at every prod GN
+# site, so the packed temps tile losslessly. Stats fold the W axis on the tiny
+# (B, W*C) reduce output; values are identical up to f32 reassociation of the
+# two-stage reduce. Off by default (the reshape boundary costs one layout copy
+# per GN — a bandwidth tax serving does not need to pay); the batch-2 memory
+# ladder turns it on.
+_GN_LANE_PACK = False
+
+
+def set_gn_lane_pack(enable: bool) -> None:
+    global _GN_LANE_PACK
+    _GN_LANE_PACK = bool(enable)
+
+
+def _gn_forward(x: jax.Array, g: int, channels: int, eps: float,
+                gamma, beta) -> jax.Array:
+    """Shared f32-stats GroupNorm forward (torch semantics) for GroupNorm and
+    AdaGroupNorm. gamma/beta: None, (C,), or per-sample (B, C) — the effective
+    affine INCLUDING any adaptive deltas, applied inside the (possibly packed)
+    elementwise region so no extra full-size temp materializes outside it."""
+    shape = x.shape
+    orig_dtype = x.dtype
+    cg = channels // g
+    b = shape[0]
+    nsp = 1
+    for d in shape[1:-1]:
+        nsp *= d
+    w = shape[-2] if x.ndim >= 3 else 1
+    pack = (_GN_LANE_PACK and x.ndim >= 4 and channels % 128 != 0
+            and (w * channels) % 128 == 0)
+    if (_GN_LANE_PACK and _GN_LOWP_STATS and orig_dtype == jnp.bfloat16
+            and (pack or channels % 128 == 0)):
+        # packed + low-precision: every full-size tensor bf16 AND losslessly
+        # tiled — the combination the r4 grouped-lowp knob could not reach.
+        # C already a lane multiple -> no reshape needed (w=1: C is the lane
+        # dim, W stays a reduced spatial axis).
+        if channels % 128 == 0:
+            xp, wp = x, 1
+        else:
+            xp, wp = x.reshape(*shape[:-2], w * channels), w
+        gb = jnp.broadcast_to(
+            (jnp.ones((channels,), jnp.float32) if gamma is None
+             else gamma.astype(jnp.float32)), (b, channels))
+        bb = jnp.broadcast_to(
+            (jnp.zeros((channels,), jnp.float32) if beta is None
+             else beta.astype(jnp.float32)), (b, channels))
+        y = _gn_lowp_packed(xp, gb, bb, wp, channels, g, eps)
+        return y.reshape(shape)
+    if pack:
+        xp = x.reshape(*shape[:-2], w * channels)     # (B, ..., W*C)
+        red = tuple(range(1, xp.ndim - 1))
+        pshape = (b,) + (1,) * len(red) + (w * channels,)
+
+        def fold_c(s):   # (B, W*C) -> per-channel (B, C), f32
+            return jnp.sum(s.reshape(b, w, channels), axis=1)
+
+        def tile_c(v):   # (B, C) -> broadcastable (B, 1.., W*C)
+            return jnp.broadcast_to(
+                v[:, None, :], (b, w, channels)).reshape(pshape)
+
+        s1 = fold_c(jnp.sum(xp, axis=red, dtype=jnp.float32))
+        mean_g = jnp.sum(s1.reshape(b, g, cg), axis=-1) / (nsp * cg)
+        mean_p = tile_c(jnp.repeat(mean_g, cg, axis=-1))
+        s2 = fold_c(jnp.sum(jnp.square(xp.astype(jnp.float32) - mean_p),
+                            axis=red))
+        var_g = jnp.sum(s2.reshape(b, g, cg), axis=-1) / (nsp * cg)
+        rstd_p = tile_c(jnp.repeat(jax.lax.rsqrt(var_g + eps), cg, axis=-1))
+        xn = (xp.astype(jnp.float32) - mean_p) * rstd_p
+        if gamma is not None:
+            gb = jnp.broadcast_to(gamma.astype(jnp.float32), (b, channels))
+            xn = xn * tile_c(gb)
+        if beta is not None:
+            bb = jnp.broadcast_to(beta.astype(jnp.float32), (b, channels))
+            xn = xn + tile_c(bb)
+        return xn.astype(orig_dtype).reshape(shape)
+
+    sp_axes = tuple(range(1, x.ndim - 1))
+    bshape = (b,) + (1,) * len(sp_axes) + (channels,)
+    s1 = jnp.sum(x, axis=sp_axes, dtype=jnp.float32)                # (B, C)
+    mean_g = jnp.sum(s1.reshape(b, g, cg), axis=-1) / (nsp * cg)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1).reshape(bshape)
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32) - mean_c), axis=sp_axes)
+    var_g = jnp.sum(s2.reshape(b, g, cg), axis=-1) / (nsp * cg)
+    rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), cg,
+                        axis=-1).reshape(bshape)
+    xn = (x.astype(jnp.float32) - mean_c) * rstd_c
+    if gamma is not None:
+        xn = xn * jnp.broadcast_to(
+            gamma.astype(jnp.float32), (b, channels)).reshape(bshape)
+    if beta is not None:
+        xn = xn + jnp.broadcast_to(
+            beta.astype(jnp.float32), (b, channels)).reshape(bshape)
+    return xn.astype(orig_dtype)
+
+
+# Trace-time switch for the avgpool-down conv fusion (ResBlock fuse_down).
+# Serving wins unconditionally (stage-2 enhancer 21.8 -> 16.3 ms), but inside
+# the REMATTED batch-2 train step the fused stride-2 4x4 convs showed up as a
+# ~1 GB "overlays" allocation in XLA's memory assignment (r5 HBM dump) — so the
+# batch-2 fit ladder can probe with it off. Same trace-time-global pattern as
+# _GN_LOWP_STATS (ResBlock is constructed in ~40 places; the knob must not
+# change any module pytree).
+_FUSE_DOWN = True
+
+
+def set_down_fusion(enable: bool) -> None:
+    global _FUSE_DOWN
+    _FUSE_DOWN = bool(enable)
+
+
 from functools import partial as _partial
 
 
@@ -384,6 +499,110 @@ def _gn_lowp_bwd(stat_axes, eps, res, gy):
 _gn_lowp.defvjp(_gn_lowp_fwd, _gn_lowp_bwd)
 
 
+# ---- LANE-PACKED low-precision GroupNorm ------------------------------------
+# The grouped (..., g, c/g) view _gn_lowp normalizes over puts c/g (6 for the
+# prod C=192/g=32 GN) in the 128-lane minor dim — every full-size bf16 temp
+# then pads massively, which is why the r4 ladder measured the lowp knob
+# GROWING peak memory under remat. This variant runs the same numerics
+# (f32-accumulated reductions, exact DC-residual fold into an f32 effective
+# bias, d_scale staged after the spatial reduce) on the (..., W*C) lane-packed
+# view: every full-size tensor is bf16 AND tiles losslessly. Per-channel /
+# per-group statistics fold on tiny (B, W, C) reshapes of the reduce outputs.
+# gamma/beta arrive as (B, C) f32 (callers broadcast; AD of the broadcast
+# restores (C,) grads).
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_lowp_packed(xp: jax.Array, gamma: jax.Array, beta: jax.Array,
+                    w: int, channels: int, g: int, eps: float) -> jax.Array:
+    y, _, _ = _gn_lowp_packed_fwd_impl(xp, gamma, beta, w, channels, g, eps)
+    return y
+
+
+def _pk_fold_c(s, b, w, channels):
+    """(B, W*C) f32 reduce output -> per-channel (B, C)."""
+    return jnp.sum(s.reshape(b, w, channels), axis=1)
+
+
+def _pk_fold_g(s_c, g):
+    """(B, C) -> per-group (B, g)."""
+    b, c = s_c.shape
+    return jnp.sum(s_c.reshape(b, g, c // g), axis=-1)
+
+
+def _pk_tile(v_c, b, w, channels, ndim):
+    """(B, C) -> (B, 1.., W*C) broadcastable over the packed tensor."""
+    pshape = (b,) + (1,) * (ndim - 2) + (w * channels,)
+    return jnp.broadcast_to(v_c[:, None, :], (b, w, channels)).reshape(pshape)
+
+
+def _pk_tile_g(v_g, b, w, channels, g, ndim):
+    """(B, g) -> (B, 1.., W*C) (per-group value repeated over channels)."""
+    return _pk_tile(jnp.repeat(v_g, channels // g, axis=-1), b, w, channels,
+                    ndim)
+
+
+def _gn_lowp_packed_fwd_impl(xp, gamma, beta, w, channels, g, eps):
+    b = xp.shape[0]
+    red = tuple(range(1, xp.ndim - 1))
+    nel = (xp.size // b) // g                    # elements per group
+    s1 = _pk_fold_g(_pk_fold_c(
+        jnp.sum(xp, axis=red, dtype=jnp.float32), b, w, channels), g)
+    mean_g = s1 / nel                             # (B, g) f32
+    mean_b_g = mean_g.astype(xp.dtype)
+    centered = xp - _pk_tile_g(mean_b_g, b, w, channels, g, xp.ndim)  # bf16
+    s2 = _pk_fold_g(_pk_fold_c(
+        jnp.sum(jnp.square(centered), axis=red, dtype=jnp.float32),
+        b, w, channels), g)
+    rstd_g = jax.lax.rsqrt(s2 / nel + eps)        # (B, g) f32
+    r_g = mean_g - mean_b_g.astype(jnp.float32)   # exact DC residual, f32
+    rstd_c = jnp.repeat(rstd_g, channels // g, axis=-1)      # (B, C)
+    eff_scale = rstd_c * gamma                    # (B, C) f32
+    eff_bias = beta - jnp.repeat(r_g, channels // g, axis=-1) * eff_scale
+    y = (centered * _pk_tile(eff_scale, b, w, channels, xp.ndim).astype(xp.dtype)
+         + _pk_tile(eff_bias, b, w, channels, xp.ndim).astype(xp.dtype))
+    return y, centered, rstd_g
+
+
+def _gn_lowp_packed_fwd(xp, gamma, beta, w, channels, g, eps):
+    y, centered, rstd_g = _gn_lowp_packed_fwd_impl(xp, gamma, beta, w,
+                                                   channels, g, eps)
+    return y, (centered, rstd_g, gamma)
+
+
+def _gn_lowp_packed_bwd(w, channels, g, eps, res, gy):
+    centered, rstd_g, gamma = res
+    b = gy.shape[0]
+    red = tuple(range(1, gy.ndim - 1))
+    nel = (gy.size // b) // g
+    xn = centered * _pk_tile_g(rstd_g.astype(centered.dtype), b, w, channels,
+                               g, centered.ndim)
+    rstd_c = jnp.repeat(rstd_g, channels // g, axis=-1)
+    # param grads: f32-accumulated reduces; multiply by the F32 rstd AFTER the
+    # spatial reduce (same staging lesson as _gn_lowp_bwd: folding a
+    # bf16-rounded rstd into xn first puts a coherent error on the whole sum)
+    s1_c = _pk_fold_c(jnp.sum(gy * centered, axis=red, dtype=jnp.float32),
+                      b, w, channels)
+    d_gamma = s1_c * rstd_c                       # (B, C) f32
+    d_beta = _pk_fold_c(jnp.sum(gy, axis=red, dtype=jnp.float32),
+                        b, w, channels)
+    # dx = rstd*(gh - E[gh] - xn*E[gh*xn]) with per-group f32 means
+    gh = gy * _pk_tile(gamma, b, w, channels, gy.ndim).astype(gy.dtype)
+    gmean = _pk_fold_g(_pk_fold_c(
+        jnp.sum(gh, axis=red, dtype=jnp.float32), b, w, channels), g) / nel
+    gxmean = _pk_fold_g(_pk_fold_c(
+        jnp.sum(gh * xn, axis=red, dtype=jnp.float32), b, w, channels),
+        g) / nel
+    dx = _pk_tile_g(rstd_g.astype(gy.dtype), b, w, channels, g, gy.ndim) * (
+        gh - _pk_tile_g(gmean.astype(jnp.float32).astype(gy.dtype), b, w,
+                        channels, g, gy.ndim)
+        - xn * _pk_tile_g(gxmean.astype(gy.dtype), b, w, channels, g,
+                          gy.ndim))
+    return dx, d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype)
+
+
+_gn_lowp_packed.defvjp(_gn_lowp_packed_fwd, _gn_lowp_packed_bwd)
+
+
 class GroupNorm(nn.Module):
     """GroupNorm(32) — the production norm (reference utils.py:953; prod norm_layer_type gn).
     Stats in fp32 regardless of activation dtype (torch semantics); under
@@ -405,49 +624,28 @@ class GroupNorm(nn.Module):
         else:
             scale = jnp.ones((self.channels,), jnp.float32)
             bias = jnp.zeros((self.channels,), jnp.float32)
-        if _GN_LOWP_STATS and orig_dtype == jnp.bfloat16:
+        if (_GN_LOWP_STATS and orig_dtype == jnp.bfloat16
+                and not _GN_LANE_PACK):
+            # legacy grouped lowp view; under set_gn_lane_pack the packed-lowp
+            # path inside _gn_forward supersedes it (the grouped (..., g, c/g)
+            # reshape lane-pads its bf16 temps — the r4 "lowp grew peak" result)
             xg = x.reshape(*shape[:-1], g, shape[-1] // g)
             axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
             y = _gn_lowp(xg, scale.reshape(g, -1), bias.reshape(g, -1),
                          axes, self.eps)
             return y.reshape(shape)
         # Reshape-free stats: the natural (..., g, c/g) grouped reshape puts
-        # c/g in the 128-lane minor dim — TPU layout pads it 4x (measured on
-        # the warp generators' c/g=9 GN: 144 MB held for a 36 MB tensor), and
-        # the layout-changing copy is a fusion barrier that MATERIALIZES the
+        # c/g in the 128-lane minor dim — TPU layout pads it 4x, and the
+        # layout-changing copy is a fusion barrier that MATERIALIZES the
         # fp32 square/centered temps of the backward (the 260 MB allocations
-        # dominating the batch-2 512px OOM dump). Instead: per-channel spatial
-        # sums in the original channels-last layout (kInput fusions, nothing
-        # full-size materializes), then collapse channels->groups on the tiny
-        # (B, C) result. Same two-pass variance math, f32 accumulation.
-        #
-        # No SHARED full-size f32 tensor: the round-4 batch-2 OOM dump showed
-        # the Unet3D remat replays holding five 288 MB f32 `centered` temps
-        # with 1.3x lane-padding waste (C=192 pads to 256 lanes) — a shared
-        # `xs = f32(x)` / `centered` value with two consumers (the variance
-        # reduce AND the normalize) becomes a materialization point. Each
-        # consumer below recomputes the cheap f32 upcast+subtract inside its
-        # own fusion (bit-identical f32 math, duplicate-computation cost is
-        # one subtract), so every full-size tensor in the program stays in the
-        # activation dtype.
-        cg = self.channels // g
-        sp_axes = tuple(range(1, x.ndim - 1))
-        nsp = 1
-        for d in shape[1:-1]:
-            nsp *= d
-        bshape = (shape[0],) + (1,) * len(sp_axes) + (self.channels,)
-        s1 = jnp.sum(x, axis=sp_axes, dtype=jnp.float32)            # (B, C)
-        mean_g = jnp.sum(s1.reshape(shape[0], g, cg), axis=-1) / (nsp * cg)
-        mean_c = jnp.repeat(mean_g, cg, axis=-1).reshape(bshape)
-        s2 = jnp.sum(jnp.square(x.astype(jnp.float32) - mean_c),
-                     axis=sp_axes)                                  # (B, C)
-        var_g = jnp.sum(s2.reshape(shape[0], g, cg), axis=-1) / (nsp * cg)
-        rstd_c = jnp.repeat(jax.lax.rsqrt(var_g + self.eps), cg,
-                            axis=-1).reshape(bshape)
-        xn = (x.astype(jnp.float32) - mean_c) * rstd_c
-        if self.affine:
-            xn = xn * scale + bias
-        return xn.astype(orig_dtype)
+        # dominating the batch-2 512px OOM dump). _gn_forward instead takes
+        # per-channel spatial sums in the original channels-last layout (or
+        # the lane-packed (..., W*C) view under set_gn_lane_pack), with NO
+        # shared full-size f32 tensor: each consumer recomputes the cheap
+        # upcast+subtract inside its own fusion.
+        return _gn_forward(x, g, self.channels, self.eps,
+                           scale if self.affine else None,
+                           bias if self.affine else None)
 
 
 class AdaGroupNorm(nn.Module):
@@ -460,14 +658,16 @@ class AdaGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mod: Mod) -> jax.Array:
-        xn = GroupNorm(self.channels, self.groups, self.eps, affine=False, name="gn")(x)
         weight = self.param("scale", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
         dg, db = mod
-        gamma = (weight[None] + dg).astype(x.dtype)  # (B, C)
-        beta = (bias[None] + db).astype(x.dtype)
-        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.channels,)
-        return xn * gamma.reshape(bshape) + beta.reshape(bshape)
+        gamma = weight[None] + dg  # (B, C)
+        beta = bias[None] + db
+        # the per-sample affine rides INSIDE the shared GN elementwise region
+        # (packed under set_gn_lane_pack — the warp generators' C=32 GN mul was
+        # a 4.0x-padded 144 MB copy in the r5 batch-2 HBM dump)
+        g = _num_groups(self.channels, self.groups)
+        return _gn_forward(x, g, self.channels, self.eps, gamma, beta)
 
 
 def upsample_nearest(x: jax.Array, factor) -> jax.Array:
@@ -667,8 +867,9 @@ class ResBlock(nn.Module):
         # The skip's 1x1 conv commutes exactly with the pool (per-pixel linear map
         # of a spatial average == spatial average of the map), so it pools FIRST
         # and projects at the low resolution: 1/4 the skip FLOPs.
-        fuse_down = (downsample and self.resize == "avgpool" and self.stride == 2
-                     and self.ndim == 2 and not self.quant and conv_mods is None)
+        fuse_down = (_FUSE_DOWN and downsample and self.resize == "avgpool"
+                     and self.stride == 2 and self.ndim == 2 and not self.quant
+                     and conv_mods is None)
         out = NormAct(self.in_channels, self.norm, self.activation, name="norm_act_0")(out, m0)
         if commute_up and not fuse_up:
             out = _resize_up(out, self.stride, self.resize)

@@ -57,8 +57,9 @@ def test_face_vector_cosine():
     rng = np.random.default_rng(2)
     a = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
     b = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
-    assert float(face_vector_cosine_loss(embed, params, a, a)) < 1e-5
-    assert np.isfinite(float(face_vector_cosine_loss(embed, params, a, b)))
+    loss = jax.jit(lambda p, x, y: face_vector_cosine_loss(embed, p, x, y))
+    assert float(loss(params, a, a)) < 1e-5
+    assert np.isfinite(float(loss(params, a, b)))
 
 
 def test_pca_metrics_low_rank():

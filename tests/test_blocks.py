@@ -289,6 +289,111 @@ def test_conv_fuse_nearest_up_exact():
     np.testing.assert_allclose(np.asarray(fused_ws), np.asarray(ref_ws), atol=2e-5)
 
 
+def test_groupnorm_lane_pack_parity():
+    """set_gn_lane_pack(True): the (..., W, C) -> (..., W*C) packed GN must
+    reproduce the unpacked path (values to f32-reassociation, grads close) for
+    2D and 3D tensors at the prod-problem channel counts (C=32 pads 4x, C=192
+    pads 1.33x on the 128-lane tile), incl. the AdaGroupNorm per-sample affine."""
+    from emoportraits_tpu.ops.blocks import set_gn_lane_pack
+
+    rng = np.random.default_rng(7)
+    cases = [
+        ((2, 4, 8, 8, 32), 32),    # 3D warp-generator shape
+        ((2, 4, 8, 16, 192), 192),  # 3D unet down_0 shape (W*C mult of 128)
+        ((2, 8, 8, 96), 96),       # 2D, C=96
+    ]
+    try:
+        for shape, c in cases:
+            x = jnp.asarray(
+                (1.5 + rng.standard_normal(shape)).astype(np.float32))
+            gn = GroupNorm(c)
+            params = gn.init(jax.random.PRNGKey(0), x)
+
+            def loss(p, x):
+                return jnp.sum(gn.apply(p, x) ** 2)
+
+            set_gn_lane_pack(False)
+            jax.clear_caches()
+            ref = np.asarray(gn.apply(params, x))
+            g_ref = jax.grad(loss)(params, x)
+            set_gn_lane_pack(True)
+            jax.clear_caches()
+            got = np.asarray(gn.apply(params, x))
+            np.testing.assert_allclose(got, ref, atol=2e-5)
+            g_got = jax.grad(loss)(params, x)
+            # affine-param grads are near-cancelling big sums — the two-stage
+            # (fold-W) reduce reassociates them, so compare at a tolerance
+            # scaled to the summed magnitude, not the (noise-floor) value
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3,
+                atol=1e-6 * x.size / c), g_got, g_ref)
+
+        # AdaGroupNorm: per-sample affine inside the packed region
+        x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 32)).astype(np.float32))
+        ada = AdaGroupNorm(32)
+        mod = (jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32)) * 0.1,
+               jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32)) * 0.1)
+        params = ada.init(jax.random.PRNGKey(1), x, mod)
+        set_gn_lane_pack(False)
+        jax.clear_caches()
+        ref = np.asarray(ada.apply(params, x, mod))
+        set_gn_lane_pack(True)
+        jax.clear_caches()
+        got = np.asarray(ada.apply(params, x, mod))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+    finally:
+        set_gn_lane_pack(False)
+        jax.clear_caches()
+
+
+def test_groupnorm_lane_pack_lowp_parity():
+    """set_gn_lane_pack + set_gn_lowp_stats together select the lane-packed
+    bf16 custom-VJP GN (_gn_lowp_packed). Values must stay within bf16
+    rounding of the f32-stats path and grads close to the f32-path-on-bf16
+    floor — for both a pad-prone C (192: packed via (..., W*C)) and a
+    lane-aligned C (128: packed with w=1, no reshape)."""
+    from emoportraits_tpu.ops.blocks import set_gn_lane_pack, set_gn_lowp_stats
+
+    rng = np.random.default_rng(11)
+    try:
+        for shape, c in (((2, 4, 8, 16, 192), 192), ((2, 8, 8, 128), 128)):
+            x32 = (2.0 + 1.5 * rng.standard_normal(shape)).astype(np.float32)
+            gn = GroupNorm(c)
+            params = gn.init(jax.random.PRNGKey(0), jnp.asarray(x32))
+            xb = jnp.asarray(x32).astype(jnp.bfloat16)
+
+            def loss(p, x):
+                return jnp.sum(gn.apply(p, x) ** 2)
+
+            set_gn_lane_pack(False)
+            set_gn_lowp_stats(False)
+            jax.clear_caches()
+            ref32 = np.asarray(gn.apply(params, jnp.asarray(x32)))
+            ref_b = np.asarray(gn.apply(params, xb), np.float32)
+            g_refb = jax.grad(loss)(params, xb)
+
+            set_gn_lane_pack(True)
+            set_gn_lowp_stats(True)
+            jax.clear_caches()
+            # f32 input: lowp must NOT engage (packed f32 path, values ~exact)
+            got32 = np.asarray(gn.apply(params, jnp.asarray(x32)))
+            np.testing.assert_allclose(got32, ref32, atol=2e-5)
+            got_b = np.asarray(gn.apply(params, xb), np.float32)
+            np.testing.assert_allclose(got_b, ref_b, atol=0.05)
+            g_lowp = jax.grad(loss)(params, xb)
+            for (pa, va), (pb, vb) in zip(
+                    jax.tree_util.tree_flatten_with_path(g_lowp)[0],
+                    jax.tree_util.tree_flatten_with_path(g_refb)[0]):
+                va, vb = np.asarray(va, np.float32), np.asarray(vb, np.float32)
+                denom = max(np.abs(vb).max(), 1.0)
+                assert np.abs(va - vb).max() / denom < 0.08, (
+                    pa, np.abs(va - vb).max(), denom)
+    finally:
+        set_gn_lane_pack(False)
+        set_gn_lowp_stats(False)
+        jax.clear_caches()
+
+
 def test_conv_fuse_avgpool_down_exact():
     """Conv(fuse_avgpool_down=True)(x) == avg_pool(Conv(x), 2) — the stride-2
     smeared-kernel composition is the same math (fp32 CPU: exact to

@@ -46,10 +46,14 @@ def test_unet_first_paths_run_and_differ():
                        max_channels=32)
     _, model_uf = _tiny_model(unet_first=True, unet3d_s=u_s)
     args = _inputs(0)
-    v = model.init(jax.random.PRNGKey(0), *args)
-    v_uf = model_uf.init(jax.random.PRNGKey(0), *args)
-    out = model.apply(v, *args, mutable=["sn_state"])[0]
-    out_uf = model_uf.apply(v_uf, *args, mutable=["sn_state"])[0]
+    # jitted init/apply: single programs the conftest compile cache persists
+    # (eager op-by-op dispatch made this the 2nd-slowest fast test at ~25 s)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+    v_uf = jax.jit(model_uf.init)(jax.random.PRNGKey(0), *args)
+    out = jax.jit(lambda v, *a: model.apply(v, *a, mutable=["sn_state"])[0])(
+        v, *args)
+    out_uf = jax.jit(
+        lambda v, *a: model_uf.apply(v, *a, mutable=["sn_state"])[0])(v_uf, *args)
     assert out_uf["pred_target_img"].shape == out["pred_target_img"].shape
     assert jnp.isfinite(out_uf["pred_target_img"]).all()
     # different graph ordering + different volume_source net => different params
@@ -57,29 +61,35 @@ def test_unet_first_paths_run_and_differ():
     assert sum(x.size for x in ps) != sum(
         x.size for x in jax.tree_util.tree_leaves(v["params"]["volume_source_nw"]))
     # canonical_from_target + encode_source also run under unet_first
-    st = model_uf.apply(v_uf, args[0], args[1], args[3],
-                        method=model_uf.encode_source, mutable=["sn_state"])[0]
+    st = jax.jit(lambda v, a, b, c: model_uf.apply(
+        v, a, b, c, method=model_uf.encode_source, mutable=["sn_state"])[0])(
+        v_uf, args[0], args[1], args[3])
     assert jnp.isfinite(st.canonical_volume).all()
-    canon = model_uf.apply(
+    canon = jax.jit(lambda v, a, b, pe, ie, th: model_uf.apply(
+        v, a, b, pe, ie, th, 1.0,
+        method=model_uf.canonical_from_target, mutable=["sn_state"])[0])(
         v_uf, args[2], args[1], out_uf["target_pose_embed"],
-        out_uf["idt_embed"], args[4], 1.0,
-        method=model_uf.canonical_from_target, mutable=["sn_state"])[0]
+        out_uf["idt_embed"], args[4])
     assert jnp.isfinite(canon).all()
 
 
 def test_detach_lat_vol_cuts_encoder_gradient_on_gated_steps():
     cfg, model = _tiny_model(detach_lat_vol=2)
     args = _inputs(1)
-    v = model.init(jax.random.PRNGKey(0), *args)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
 
     def loss(params, step):
         out = model.apply({**v, "params": params}, *args,
-                          step=jnp.asarray(step), method=model.generate,
+                          step=step, method=model.generate,
                           mutable=["sn_state"])[0]
         return jnp.sum(out["pred_target_img"] ** 2)
 
-    g_on = jax.grad(loss)(v["params"], 0)   # 0 % 2 == 0 -> detached
-    g_off = jax.grad(loss)(v["params"], 1)  # 1 % 2 != 0 -> attached
+    # step is a TRACED argument: one jitted grad program (cached by the
+    # conftest compile cache) serves both parities — eager op-by-op AD made
+    # this the slowest fast test at ~65 s
+    grad_fn = jax.jit(jax.grad(loss))
+    g_on = grad_fn(v["params"], jnp.asarray(0))   # 0 % 2 == 0 -> detached
+    g_off = grad_fn(v["params"], jnp.asarray(1))  # 1 % 2 != 0 -> attached
     n_on = sum(float(jnp.abs(x).sum())
                for x in jax.tree_util.tree_leaves(g_on["local_encoder_nw"]))
     n_off = sum(float(jnp.abs(x).sum())
@@ -134,12 +144,14 @@ def test_theta_from_keypoints_training_branch():
 
     cfg, model = _tiny_model()
     args = _inputs(2)
-    v = model.init(jax.random.PRNGKey(0), *args)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
     gen_apply = make_gen_apply(cfg, model, None, None,
                                canonical_keypoints=canon)
     batch = {"source_img": args[0], "target_img": args[2],
              "source_mask": args[1], "target_mask": args[1],
              "source_keypoints": kp, "target_keypoints": kp}
+    # deliberately eager: jitting these two one-shot forwards measured SLOWER
+    # even warm (trace time ~30 s for the LM-fit graph vs ~10 s eager total)
     out, _ = gen_apply(v, batch, jax.random.PRNGKey(1))
     assert jnp.isfinite(out["pred_target_img"]).all()
     # the config knob requiring the iterative path is honored (sep_scales forces
