@@ -132,7 +132,14 @@ class WarpGenerator(nn.Module):
             in_ch = oc
 
         if c.block_type == "res":
-            x = GroupNorm(out_chs[-1], name="pre_head_norm")(x.astype(jnp.float32))
+            # Head stays in the ACTIVATION dtype: under bf16_activations an f32
+            # cast here is a pure memory tax — the (B, 16, 64, 64, 32) f32
+            # GN/relu/head-conv temps pad 4.0x on the 128-lane tile (the top
+            # temps of the r5 batch-2 HBM dump) while the resulting warp is
+            # cast to the volume dtype at every grid_sample consumer anyway
+            # (stage1._grid_sample), so f32 deltas buy no end precision. GN
+            # statistics are f32 internally regardless (ops/blocks.GroupNorm).
+            x = GroupNorm(out_chs[-1], name="pre_head_norm")(x)
             x = activation_fn(c.activation)(x)
         # head conv3d keeps its SN hook (sequential index 0 of head.0)
         deltas = Conv(3, (3, 3, 3), use_sn=self.use_sn, name="head")(x)
