@@ -82,7 +82,21 @@ def _cost_flops(compiled) -> float:
 
 
 def bench_train():
-    """Full prod-loss GAN train step throughput on one chip (BENCH_TRAIN=1)."""
+    """Full prod-loss GAN train step throughput on one chip (BENCH_TRAIN=1).
+
+    BENCH_B2=1 is the one-flag alias for the production-geometry stack — the
+    knob set that fits 512px batch 2 on one v5e chip (r5 HBM ladder, DESIGN.md):
+    batch 2 + remat(dots) + remat towers + bf16 towers + mu-bf16 Adam +
+    lane-packed lowp GroupNorm + down-fusion off. AOT probe: 14.951 GiB of
+    15.75 (BENCH_MEMPROBE=1 to re-verify without executing).
+    """
+    if os.environ.get("BENCH_B2"):
+        for k, v in (("BENCH_BATCH", "2"), ("BENCH_REMAT", "1"),
+                     ("BENCH_REMAT_POLICY", "dots"), ("BENCH_REMAT_TOWERS", "1"),
+                     ("BENCH_BF16_TOWERS", "1"), ("BENCH_MU_BF16", "1"),
+                     ("BENCH_NO_FUSE_DOWN", "1"), ("BENCH_GN_PACK", "1"),
+                     ("BENCH_GN_BF16", "1")):
+            os.environ.setdefault(k, v)
     from emoportraits_tpu.config import ExperimentConfig
     from emoportraits_tpu.models.discriminator import MultiScaleDiscriminator
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
@@ -249,7 +263,8 @@ def bench_knobs():
     """Numerics gate for the batch-2 memory-knob stack ON THE REAL CHIP
     (BENCH_KNOBS=1): tiny-config full train step with every knob the DESIGN.md
     HBM-fit ladder measures turned ON simultaneously (remat dots + per-block
-    remat, GN lowp stats, Adam mu/nu bf16, bf16 activations). Asserts every
+    remat, lane-packed lowp GN, down-fusion off, Adam mu/nu bf16, bf16
+    activations — the r5 batch-2 production-geometry stack). Asserts every
     metric finite and params moving over two steps; prints one JSON line so the
     driver captures the gate alongside the perf numbers (VERDICT r4 #8)."""
     from emoportraits_tpu.config import tiny_config
@@ -257,7 +272,11 @@ def bench_knobs():
     from emoportraits_tpu.models.discriminator import MultiScaleDiscriminator
     from emoportraits_tpu.models.head_pose import HeadPoseRegressor
     from emoportraits_tpu.models.stage1 import VolumetricAvatar
-    from emoportraits_tpu.ops.blocks import set_gn_lowp_stats
+    from emoportraits_tpu.ops.blocks import (
+        set_down_fusion,
+        set_gn_lane_pack,
+        set_gn_lowp_stats,
+    )
     from emoportraits_tpu.train.forward import make_gen_apply
     from emoportraits_tpu.train.state import TrainState
     from emoportraits_tpu.train.step import LossTowers, make_train_step
@@ -267,11 +286,14 @@ def bench_knobs():
         cfg,
         model=dataclasses.replace(cfg.model, remat=True, remat_policy="dots"),
         train=dataclasses.replace(cfg.train, bf16_activations=True,
-                                  bf16_gn_stats=True),
+                                  bf16_gn_stats=True, gn_lane_pack=True,
+                                  fuse_down_convs=False),
         gen_opt=dataclasses.replace(cfg.gen_opt, mu_bf16=True, nu_bf16=True),
         dis_opt=dataclasses.replace(cfg.dis_opt, mu_bf16=True),
     )
     set_gn_lowp_stats(True)
+    set_gn_lane_pack(True)
+    set_down_fusion(False)
     key = jax.random.PRNGKey(0)
     model = VolumetricAvatar(cfg.model)
     dis = MultiScaleDiscriminator(cfg.model.discriminator)

@@ -409,6 +409,17 @@ class TrainConfig:
     # knob: the default fp32 GN holds multi-hundred-MB fp32 backward temps per
     # encoder block. Only affects bf16 activations; off = torch f32 semantics.
     bf16_gn_stats: bool = False
+    # Lane-packed GroupNorm (ops/blocks.py set_gn_lane_pack): reshape
+    # (..., W, C) -> (..., W*C) around the GN elementwise math so C=32/96/192
+    # temps stop padding 1.3-4x on the TPU's 128-lane tile. With bf16_gn_stats
+    # it selects the packed lowp custom-VJP GN. Part of the batch-2 512px
+    # production-geometry stack (DESIGN.md r5 HBM ladder).
+    gn_lane_pack: bool = False
+    # Avgpool-down conv fusion (ops/blocks.py set_down_fusion): ON wins
+    # serving unconditionally, but inside the rematted batch-2 train step the
+    # fused stride-2 4x4 convs surface ~1 GB of XLA overlay scratch — the
+    # batch-2 stack turns it off for training.
+    fuse_down_convs: bool = True
     # EMA of generator params for serving (0 = off; utils/ema.py, updated in-step)
     ema_decay: float = 0.0
 

@@ -53,6 +53,12 @@ class Trainer:
             # jit of the model traces GroupNorm
             from ..ops.blocks import set_gn_lowp_stats
             set_gn_lowp_stats(True)
+        if cfg.train.gn_lane_pack:
+            from ..ops.blocks import set_gn_lane_pack
+            set_gn_lane_pack(True)
+        if not cfg.train.fuse_down_convs:
+            from ..ops.blocks import set_down_fusion
+            set_down_fusion(False)
         self.train_stream = train_stream
         self.test_stream = test_stream
         # fixed smoke portraits spliced into the first eval batch each epoch
