@@ -50,7 +50,6 @@ def test_groupnorm_lowp_stats_knob():
     g_refb = jax.grad(loss)(params, xb)
     try:
         set_gn_lowp_stats(True)
-        jax.clear_caches()  # trace-time global: drop cached f32-stats programs
         got32 = np.asarray(gn.apply(params, jnp.asarray(x32)))
         np.testing.assert_array_equal(got32, ref32)
         got_b = np.asarray(gn.apply(params, xb), np.float32)
@@ -72,7 +71,6 @@ def test_groupnorm_lowp_stats_knob():
             assert float(np.abs(l - t).max()) <= bound
     finally:
         set_gn_lowp_stats(False)
-        jax.clear_caches()
 
 
 def test_ws_conv_matches_torch_reference_standardization():
@@ -313,11 +311,9 @@ def test_groupnorm_lane_pack_parity():
                 return jnp.sum(gn.apply(p, x) ** 2)
 
             set_gn_lane_pack(False)
-            jax.clear_caches()
             ref = np.asarray(gn.apply(params, x))
             g_ref = jax.grad(loss)(params, x)
             set_gn_lane_pack(True)
-            jax.clear_caches()
             got = np.asarray(gn.apply(params, x))
             np.testing.assert_allclose(got, ref, atol=2e-5)
             g_got = jax.grad(loss)(params, x)
@@ -335,15 +331,12 @@ def test_groupnorm_lane_pack_parity():
                jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32)) * 0.1)
         params = ada.init(jax.random.PRNGKey(1), x, mod)
         set_gn_lane_pack(False)
-        jax.clear_caches()
         ref = np.asarray(ada.apply(params, x, mod))
         set_gn_lane_pack(True)
-        jax.clear_caches()
         got = np.asarray(ada.apply(params, x, mod))
         np.testing.assert_allclose(got, ref, atol=2e-5)
     finally:
         set_gn_lane_pack(False)
-        jax.clear_caches()
 
 
 def test_groupnorm_lane_pack_lowp_parity():
@@ -367,14 +360,12 @@ def test_groupnorm_lane_pack_lowp_parity():
 
             set_gn_lane_pack(False)
             set_gn_lowp_stats(False)
-            jax.clear_caches()
             ref32 = np.asarray(gn.apply(params, jnp.asarray(x32)))
             ref_b = np.asarray(gn.apply(params, xb), np.float32)
             g_refb = jax.grad(loss)(params, xb)
 
             set_gn_lane_pack(True)
             set_gn_lowp_stats(True)
-            jax.clear_caches()
             # f32 input: lowp must NOT engage (packed f32 path, values ~exact)
             got32 = np.asarray(gn.apply(params, jnp.asarray(x32)))
             np.testing.assert_allclose(got32, ref32, atol=2e-5)
@@ -391,7 +382,6 @@ def test_groupnorm_lane_pack_lowp_parity():
     finally:
         set_gn_lane_pack(False)
         set_gn_lowp_stats(False)
-        jax.clear_caches()
 
 
 def test_conv_fuse_avgpool_down_exact():
