@@ -36,6 +36,23 @@ from .step import LossTowers, make_train_step
 from .towers import FrozenNets, build_loss_towers
 
 
+def apply_trace_knobs(cfg: ExperimentConfig) -> None:
+    """Apply the config's trace-time memory knobs to the ops-level globals.
+
+    These are trace-time switches (see ops/blocks.py) rather than module
+    attributes because ResBlock/GroupNorm are constructed in ~40 places and the
+    knobs must not change any module pytree. MUST run before anything jits the
+    model; Trainer.__init__ calls it first. The batch-2 512px production
+    geometry stack (DESIGN.md "Train at batch 2 (round 5)") is
+    `bf16_gn_stats=True, gn_lane_pack=True, fuse_down_convs=False` + remat.
+    """
+    from ..ops.blocks import set_down_fusion, set_gn_lane_pack, set_gn_lowp_stats
+
+    set_gn_lowp_stats(bool(cfg.train.bf16_gn_stats))
+    set_gn_lane_pack(bool(cfg.train.gn_lane_pack))
+    set_down_fusion(bool(cfg.train.fuse_down_convs))
+
+
 class Trainer:
     def __init__(self, cfg: ExperimentConfig, train_stream: Iterator,
                  test_stream: Optional[Iterator] = None,
@@ -48,17 +65,7 @@ class Trainer:
                  strict_towers: bool = False,
                  canonical_keypoints: Optional["np.ndarray"] = None):
         self.cfg = cfg
-        if cfg.train.bf16_gn_stats:
-            # trace-time global (see ops/blocks.py): must be set before any
-            # jit of the model traces GroupNorm
-            from ..ops.blocks import set_gn_lowp_stats
-            set_gn_lowp_stats(True)
-        if cfg.train.gn_lane_pack:
-            from ..ops.blocks import set_gn_lane_pack
-            set_gn_lane_pack(True)
-        if not cfg.train.fuse_down_convs:
-            from ..ops.blocks import set_down_fusion
-            set_down_fusion(False)
+        apply_trace_knobs(cfg)
         self.train_stream = train_stream
         self.test_stream = test_stream
         # fixed smoke portraits spliced into the first eval batch each epoch

@@ -236,3 +236,25 @@ def test_pair_dataset_prod_aug_strengths():
                            augment_color=False, seed=1)
     s2 = ds_plain.sample_pair()
     assert s2["source_img"].shape == (32, 32, 3)
+
+
+def test_trainer_trace_knobs_follow_config():
+    """TrainConfig.{bf16_gn_stats,gn_lane_pack,fuse_down_convs} reach the
+    ops-level trace-time globals via apply_trace_knobs (what Trainer.__init__
+    runs first) — the config-level path to the batch-2 production-geometry
+    stack, not just the bench env vars."""
+    from emoportraits_tpu.ops import blocks
+    from emoportraits_tpu.train.trainer import apply_trace_knobs
+
+    cfg = tiny_config()
+    b2 = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, bf16_gn_stats=True, gn_lane_pack=True,
+        fuse_down_convs=False))
+    try:
+        apply_trace_knobs(b2)
+        assert blocks._GN_LOWP_STATS and blocks._GN_LANE_PACK
+        assert not blocks._FUSE_DOWN
+    finally:
+        apply_trace_knobs(cfg)  # defaults restore: lowp off, pack off, fuse on
+    assert not blocks._GN_LOWP_STATS and not blocks._GN_LANE_PACK
+    assert blocks._FUSE_DOWN
