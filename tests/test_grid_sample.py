@@ -28,9 +28,10 @@ def _rand_grid(rng, shape, scale=1.3):
 
 
 @pytest.mark.parametrize("padding_mode", PAD_MODES)
-def test_grid_sample_2d_matches_torch(padding_mode):
+@pytest.mark.parametrize("C", [3, 8])  # C<=4 scalar-gather path AND row-gather path
+def test_grid_sample_2d_matches_torch(padding_mode, C):
     rng = np.random.default_rng(0)
-    B, H, W, C = 2, 5, 7, 3
+    B, H, W = 2, 5, 7
     Ho, Wo = 4, 6
     img = rng.standard_normal((B, H, W, C), dtype=np.float32)
     grid = _rand_grid(rng, (B, Ho, Wo, 2))
@@ -47,9 +48,10 @@ def test_grid_sample_2d_matches_torch(padding_mode):
 
 
 @pytest.mark.parametrize("padding_mode", PAD_MODES)
-def test_grid_sample_3d_matches_torch(padding_mode):
+@pytest.mark.parametrize("C", [3, 8])  # C<=4 scalar-gather path AND row-gather path
+def test_grid_sample_3d_matches_torch(padding_mode, C):
     rng = np.random.default_rng(1)
-    B, D, H, W, C = 2, 4, 5, 6, 3
+    B, D, H, W = 2, 4, 5, 6
     Do, Ho, Wo = 3, 4, 5
     vol = rng.standard_normal((B, D, H, W, C), dtype=np.float32)
     grid = _rand_grid(rng, (B, Do, Ho, Wo, 3))
