@@ -68,32 +68,37 @@ def check() -> int:
 
 
 def prune() -> int:
+    """In-place cold rebuild: quarantine every existing entry, run the dryrun
+    exactly as the driver does (same process mode, no env redirection), and
+    keep only what that run writes.
+
+    The first version redirected the cache into a temp dir via
+    EMOPORTRAITS_XLA_CACHE_DIR — and the train-step program hash in that
+    redirected process measurably DIFFERED from a normal run's (r5 finding: the
+    gate immediately wrote a fourth jit_train_step twin), leaving dead weight.
+    Rebuilding in place with a plain run is hash-identical to the gate by
+    construction."""
     sys.path.insert(0, REPO)
     import __graft_entry__ as g
 
-    tmp = tempfile.mkdtemp(prefix="xla_cache_live_")
-    os.environ["EMOPORTRAITS_XLA_CACHE_DIR"] = tmp
+    os.makedirs(CACHE, exist_ok=True)
+    quarantine = tempfile.mkdtemp(prefix="xla_cache_old_")
+    old = entries()
+    for n in old:
+        shutil.move(os.path.join(CACHE, n), os.path.join(quarantine, n))
     try:
         t0 = time.time()
-        g.dryrun_multichip(8)  # cold: writes exactly the live entry set
-        live = entries(tmp)
-        print(f"cold dryrun {time.time() - t0:.1f}s -> {len(live)} live entries")
-        old = entries()
-        os.makedirs(CACHE, exist_ok=True)
+        g.dryrun_multichip(8)  # cold in place: writes exactly the live set
+        live = entries()
+        total = sum(os.path.getsize(os.path.join(CACHE, n)) for n in live)
+        print(f"cold dryrun {time.time() - t0:.1f}s -> {len(live)} live "
+              f"entries, {total / 1e6:.1f} MB (was {len(old)}). "
+              f"Commit .xla_cache, then run the gate to confirm warm.")
         for n in sorted(old - live):
-            os.remove(os.path.join(CACHE, n))
             print(f"  pruned dead entry {n}")
-        for n in sorted(live):
-            shutil.copy2(os.path.join(tmp, n), os.path.join(CACHE, n))
-        kept = entries()
-        assert kept == live, (kept, live)
-        total = sum(os.path.getsize(os.path.join(CACHE, n)) for n in kept)
-        print(f"cache rebuilt: {len(kept)} entries, {total / 1e6:.1f} MB "
-              f"(was {len(old)}). Commit .xla_cache, then run the gate.")
         return 0
     finally:
-        os.environ.pop("EMOPORTRAITS_XLA_CACHE_DIR", None)
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(quarantine, ignore_errors=True)
 
 
 if __name__ == "__main__":
