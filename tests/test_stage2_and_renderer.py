@@ -126,3 +126,25 @@ def test_stage2_full_loss_step():
             lambda a, l: a + float(jnp.sum(jnp.abs(l))),
             jax.tree.map(lambda a, b: a - b, old, new), 0.0)
         assert delta > 0, "a parameter set did not update"
+
+    # donated-state aliasing audit (mirror of the stage-1
+    # test_donated_state_fully_aliased): the Trainer jits the stage-2 step with
+    # donate_argnums=(0,) — the bulk of the Stage2TrainState (all three param
+    # sets + moments) must alias through the compiled program
+    donated = jax.jit(make_stage2_train_step(
+        cfg,
+        lambda v, p, m, mt=None: enh.apply(v, p, m, mt, mutable=["sn_state"]),
+        lambda v, i: dis.apply(v, i),
+        second_dis_apply=lambda v, i: dis2.apply(v, i),
+        vgg19_apply=towers.vgg19_apply, vgg19_params=towers.vgg19_params,
+        face_parsing=frozen.face_parsing, matting=frozen.matting),
+        donate_argnums=(0,))
+    ma = donated.lower(state, batch, jax.random.PRNGKey(1)).compile(
+        ).memory_analysis()
+    state_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(state) if hasattr(x, "dtype"))
+    assert ma is not None
+    coverage = ma.alias_size_in_bytes / state_bytes
+    assert coverage >= 0.9, (
+        f"donated stage-2 state only {coverage:.2%} aliased "
+        f"({ma.alias_size_in_bytes} of {state_bytes} bytes)")

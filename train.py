@@ -230,11 +230,15 @@ def _train_stage2(cfg, args, train_stream):
         return enh.apply(variables, pred, mask, matte, mutable=["sn_state"])
 
     state = Stage2TrainState.create(cfg, enh_vars, dis_vars, dis2_vars)
+    # donate the state like the stage-1 sharded step (parallel/mesh.py): the
+    # previous Stage2TrainState is dead once the step launches, so XLA reuses
+    # its buffers instead of holding both generations live
     step = jax.jit(make_stage2_train_step(
         cfg, enhancer_apply, lambda v, img: dis.apply(v, img),
         second_dis_apply=second_dis_apply,
         vgg19_apply=towers.vgg19_apply, vgg19_params=towers.vgg19_params,
-        face_parsing=frozen.face_parsing, matting=frozen.matting))
+        face_parsing=frozen.face_parsing, matting=frozen.matting),
+        donate_argnums=(0,))
 
     iters = args.iters or cfg.train.train_epoch_len
     epochs = args.epochs or 1
