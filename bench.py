@@ -16,7 +16,7 @@ Env knobs:
 
 Measured on TPU v5e (single chip, 512px): plain_f32 41.6 fps, fused_f32 43.4,
 plain_bf16 53.6, fused_bf16 59.95 fps (MFU 0.315, after the up-block commute);
-BENCH_TRAIN=1 full prod-loss GAN step 456 ms/iter bf16 (2.19 it/s, MFU 0.27);
+BENCH_TRAIN=1 full prod-loss GAN step 425.6 ms/iter bf16 (2.35 it/s, MFU 0.26);
 BENCH_STAGE2=1 45.8 fps (MFU 0.459).
 """
 from __future__ import annotations
