@@ -181,14 +181,23 @@ class Conv(nn.Module):
             padding = tuple((p, p) for p in padding)
 
         lhs_dilation = None
-        if self.fuse_nearest_up or self.fuse_avgpool_down:
+        fuse_down_here = self.fuse_avgpool_down
+        if self.fuse_nearest_up or fuse_down_here:
             if (ada is not None or self.quant or ndim != 2
                     or tuple(self.kernel_size) != (3, 3)
                     or strides != (1, 1) or dilation != (1, 1)
-                    or (self.fuse_nearest_up and self.fuse_avgpool_down)):
+                    or self.padding != "SAME"
+                    or (self.fuse_nearest_up and fuse_down_here)):
                 raise ValueError(
                     "fuse_nearest_up/fuse_avgpool_down need a plain 2D 3x3 "
-                    "stride-1 conv (and are mutually exclusive)")
+                    "stride-1 SAME conv (and are mutually exclusive)")
+            if fuse_down_here and (x.shape[1] % 2 or x.shape[2] % 2):
+                # odd spatial dims: the fused stride-2 output has
+                # floor((H-1)/2)+1 rows but avg_pool(conv(x), 2) has
+                # floor(H/2) — fall back to the exact composition (static
+                # shapes: this is a trace-time branch)
+                fuse_down_here = False
+        if self.fuse_nearest_up or fuse_down_here:
             # k (*) ones(2,2): k'[a,b] = sum_{p,q in {0,1}} k[a-p, b-q]
             kp = lambda dh, dw: jnp.pad(
                 kernel, ((dh, 1 - dh), (dw, 1 - dw), (0, 0), (0, 0)))
@@ -272,6 +281,10 @@ class Conv(nn.Module):
                 lambda rng, shape: jax.random.uniform(rng, shape, jnp.float32, -bound, bound),
                 (self.features,))
             y = y + bias.astype(dtype)
+        if self.fuse_avgpool_down and not fuse_down_here:
+            # odd-spatial fallback: the literal composition the fused kernel
+            # replaces (per-channel bias commutes with the mean)
+            y = avg_pool(y, 2)
         return y
 
 
@@ -352,8 +365,8 @@ def _gn_forward(x: jax.Array, g: int, channels: int, eps: float,
     w = shape[-2] if x.ndim >= 3 else 1
     pack = (_GN_LANE_PACK and x.ndim >= 4 and channels % 128 != 0
             and (w * channels) % 128 == 0)
-    if (_GN_LANE_PACK and _GN_LOWP_STATS and orig_dtype == jnp.bfloat16
-            and (pack or channels % 128 == 0)):
+    lowp = _GN_LOWP_STATS and orig_dtype == jnp.bfloat16
+    if (lowp and _GN_LANE_PACK and (pack or channels % 128 == 0)):
         # packed + low-precision: every full-size tensor bf16 AND losslessly
         # tiled — the combination the r4 grouped-lowp knob could not reach.
         # C already a lane multiple -> no reshape needed (w=1: C is the lane
@@ -370,17 +383,35 @@ def _gn_forward(x: jax.Array, g: int, channels: int, eps: float,
              else beta.astype(jnp.float32)), (b, channels))
         y = _gn_lowp_packed(xp, gb, bb, wp, channels, g, eps)
         return y.reshape(shape)
+    if lowp:
+        # Legacy grouped lowp (the r4 knob): pack off, OR a site the lane-pack
+        # cannot cover (W*C and C both unaligned). Without this fallback, GN
+        # sites would silently revert to the full-f32 temps the knob exists to
+        # kill (r5 review finding: AdaGroupNorm lost exactly this path).
+        xg = x.reshape(*shape[:-1], g, cg)
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        if gamma is None or gamma.ndim == 1:
+            scale = (jnp.ones((channels,), jnp.float32) if gamma is None
+                     else gamma.astype(jnp.float32)).reshape(g, cg)
+            bias = (jnp.zeros((channels,), jnp.float32) if beta is None
+                    else beta.astype(jnp.float32)).reshape(g, cg)
+            return _gn_lowp(xg, scale, bias, axes, eps).reshape(shape)
+        # per-sample (B, C) affine (AdaGroupNorm): normalize without affine,
+        # then one bf16 multiply-add outside — the pre-r5 AdaGroupNorm shape
+        y = _gn_lowp(xg, jnp.ones((g, cg), jnp.float32),
+                     jnp.zeros((g, cg), jnp.float32), axes, eps).reshape(shape)
+        bshape = (b,) + (1,) * (x.ndim - 2) + (channels,)
+        return (y * gamma.astype(orig_dtype).reshape(bshape)
+                + beta.astype(orig_dtype).reshape(bshape))
     if pack:
         xp = x.reshape(*shape[:-2], w * channels)     # (B, ..., W*C)
         red = tuple(range(1, xp.ndim - 1))
-        pshape = (b,) + (1,) * len(red) + (w * channels,)
 
         def fold_c(s):   # (B, W*C) -> per-channel (B, C), f32
-            return jnp.sum(s.reshape(b, w, channels), axis=1)
+            return _pk_fold_c(s, b, w, channels)
 
         def tile_c(v):   # (B, C) -> broadcastable (B, 1.., W*C)
-            return jnp.broadcast_to(
-                v[:, None, :], (b, w, channels)).reshape(pshape)
+            return _pk_tile(v, b, w, channels, xp.ndim)
 
         s1 = fold_c(jnp.sum(xp, axis=red, dtype=jnp.float32))
         mean_g = jnp.sum(s1.reshape(b, g, cg), axis=-1) / (nsp * cg)
@@ -624,16 +655,9 @@ class GroupNorm(nn.Module):
         else:
             scale = jnp.ones((self.channels,), jnp.float32)
             bias = jnp.zeros((self.channels,), jnp.float32)
-        if (_GN_LOWP_STATS and orig_dtype == jnp.bfloat16
-                and not _GN_LANE_PACK):
-            # legacy grouped lowp view; under set_gn_lane_pack the packed-lowp
-            # path inside _gn_forward supersedes it (the grouped (..., g, c/g)
-            # reshape lane-pads its bf16 temps — the r4 "lowp grew peak" result)
-            xg = x.reshape(*shape[:-1], g, shape[-1] // g)
-            axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-            y = _gn_lowp(xg, scale.reshape(g, -1), bias.reshape(g, -1),
-                         axes, self.eps)
-            return y.reshape(shape)
+        del orig_dtype, shape  # _gn_forward owns ALL path selection now:
+        # packed-lowp when packable, legacy grouped lowp otherwise (so no bf16
+        # site ever silently reverts to f32 temps), packed/plain f32 else.
         # Reshape-free stats: the natural (..., g, c/g) grouped reshape puts
         # c/g in the 128-lane minor dim — TPU layout pads it 4x, and the
         # layout-changing copy is a fusion barrier that MATERIALIZES the

@@ -120,7 +120,10 @@ def validate_stage1_port(variables: Dict[str, Any], manifest: Dict[str, Any],
         "unknown_target_paths": unknown,
         "missing_target_paths_n": len(missing),
         "unused_source_keys_n": len(manifest.get("unused_source_keys", [])),
-        "missing_source_keys_n": len(manifest.get("missing_target_keys", [])),
+        # model keys the SOURCE checkpoint did not provide, per the porter's
+        # own manifest (named to match what it counts — r5 review fix)
+        "manifest_missing_target_keys_n": len(
+            manifest.get("missing_target_keys", [])),
     }
     if shape_errors or unknown:
         raise ValueError(

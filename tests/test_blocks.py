@@ -384,6 +384,42 @@ def test_groupnorm_lane_pack_lowp_parity():
         set_gn_lowp_stats(False)
 
 
+def test_gn_lowp_engages_without_lane_pack():
+    """bf16_gn_stats WITHOUT gn_lane_pack (the r4 knob alone) must still route
+    every GN site — including AdaGroupNorm's per-sample affine and shapes the
+    lane-pack cannot cover — through the lowp path (r5 review finding: the
+    _gn_forward refactor initially dropped AdaGroupNorm's legacy-lowp route,
+    silently reverting the warp generators to full-f32 temps). Numerics gate:
+    lowp output within bf16 tolerance of the f32-stats path."""
+    from emoportraits_tpu.ops.blocks import set_gn_lane_pack, set_gn_lowp_stats
+
+    rng = np.random.default_rng(21)
+    x32 = (1.0 + rng.standard_normal((2, 4, 6, 6, 32))).astype(np.float32)
+    xb = jnp.asarray(x32).astype(jnp.bfloat16)
+    ada = AdaGroupNorm(32)
+    mod = (jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32)) * 0.1,
+           jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32)) * 0.1)
+    params = ada.init(jax.random.PRNGKey(0), xb, mod)
+    ref = np.asarray(ada.apply(params, xb, mod), np.float32)
+    # unpackable plain-GN site too: W*C=6*24=144 and C=24, neither lane-aligned
+    gn = GroupNorm(24, groups=8)
+    xg = jnp.asarray(rng.standard_normal((2, 4, 6, 6, 24)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    gparams = gn.init(jax.random.PRNGKey(1), xg)
+    gref = np.asarray(gn.apply(gparams, xg), np.float32)
+    try:
+        for pack in (False, True):
+            set_gn_lowp_stats(True)
+            set_gn_lane_pack(pack)
+            got = np.asarray(ada.apply(params, xb, mod), np.float32)
+            np.testing.assert_allclose(got, ref, atol=0.08)
+            ggot = np.asarray(gn.apply(gparams, xg), np.float32)
+            np.testing.assert_allclose(ggot, gref, atol=0.08)
+    finally:
+        set_gn_lowp_stats(False)
+        set_gn_lane_pack(False)
+
+
 def test_conv_fuse_avgpool_down_exact():
     """Conv(fuse_avgpool_down=True)(x) == avg_pool(Conv(x), 2) — the stride-2
     smeared-kernel composition is the same math (fp32 CPU: exact to
@@ -404,6 +440,21 @@ def test_conv_fuse_avgpool_down_exact():
     ref_ws = avg_pool(ws.apply(wparams, x), 2)
     fused_ws = Conv(4, (3, 3), use_ws=True, fuse_avgpool_down=True).apply(wparams, x)
     np.testing.assert_allclose(np.asarray(fused_ws), np.asarray(ref_ws), atol=2e-5)
+
+    # ODD spatial dims: the fused stride-2 output grid would differ from
+    # avg_pool(conv(x), 2) (9 vs 8 rows at H=17) — the flag must fall back to
+    # the literal composition and stay exact (r5 review finding)
+    x_odd = jnp.asarray(rng.standard_normal((2, 13, 11, 5), dtype=np.float32))
+    ref_odd = avg_pool(base.apply(params, x_odd), 2)
+    fused_odd = Conv(4, (3, 3), fuse_avgpool_down=True).apply(params, x_odd)
+    assert fused_odd.shape == ref_odd.shape == (2, 6, 5, 4)
+    np.testing.assert_allclose(np.asarray(fused_odd), np.asarray(ref_odd),
+                               atol=2e-5)
+
+    # explicit padding is rejected, not silently overridden
+    with pytest.raises(ValueError, match="SAME"):
+        Conv(4, (3, 3), padding=((0, 0), (0, 0)),
+             fuse_avgpool_down=True).init(jax.random.PRNGKey(2), x)
 
 
 def test_resblock_fuse_avgpool_down_exact():

@@ -86,9 +86,11 @@ def prune() -> int:
     old = entries()
     for n in old:
         shutil.move(os.path.join(CACHE, n), os.path.join(quarantine, n))
+    ok = False
     try:
         t0 = time.time()
         g.dryrun_multichip(8)  # cold in place: writes exactly the live set
+        ok = True
         live = entries()
         total = sum(os.path.getsize(os.path.join(CACHE, n)) for n in live)
         print(f"cold dryrun {time.time() - t0:.1f}s -> {len(live)} live "
@@ -98,6 +100,13 @@ def prune() -> int:
             print(f"  pruned dead entry {n}")
         return 0
     finally:
+        if not ok:
+            # dryrun failed mid-rebuild: restore the quarantined entries so a
+            # crash doesn't destroy the (possibly uncommitted) cache
+            for n in entries(quarantine):
+                shutil.move(os.path.join(quarantine, n),
+                            os.path.join(CACHE, n))
+            print("prune aborted: dryrun failed, original cache restored")
         shutil.rmtree(quarantine, ignore_errors=True)
 
 

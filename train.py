@@ -183,6 +183,11 @@ def _train_stage2(cfg, args, train_stream):
         make_stage2_train_step,
     )
     from emoportraits_tpu.train.towers import build_loss_towers
+    from emoportraits_tpu.train.trainer import apply_trace_knobs
+
+    # the enhancer is built from the same ResBlocks the trace-time knobs
+    # target — honor the config here exactly like Trainer.__init__ does
+    apply_trace_knobs(cfg)
 
     key = jax.random.PRNGKey(cfg.train.seed)
     s = cfg.train.image_size
